@@ -1,0 +1,412 @@
+"""Pure-JAX MiniGrid: functional, jittable grid-world environments.
+
+TPU-native replacement for the `minigrid` dependency the reference drives
+through gymnasium (`ppo_minigrid.py:106-119`). Instead of stepping Python
+objects on the host and shipping observations to the device every step
+(the reference's per-step H2D/D2H sync, `ppo_minigrid.py:255,265`), the
+environment state lives on device as arrays and `reset`/`step`/`observe`
+are pure functions — vmappable over thousands of envs and foldable into
+the training loop's `lax.scan`, so an entire PPO iteration compiles into
+one XLA program.
+
+Semantics mirror MiniGrid exactly (verified by the golden tests):
+
+* object/color/state integer encodings and the 7×7 egocentric partial
+  view with the agent at view cell (3, 6) facing up;
+* out-of-view-bounds cells read as grey walls; carried object rendered at
+  the agent's view cell;
+* shadow-casting visibility (``process_vis``) for envs without
+  ``see_through_walls``;
+* action set (left, right, forward, pickup, drop, toggle, done), goal
+  reward ``1 - 0.9 * step_count / max_steps``, truncation at
+  ``max_steps``;
+* Empty-NxN (fixed or random start) and DoorKey-NxN generation,
+  including DoorKey's door-row quirk of sampling with ``width`` instead
+  of ``height``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- Integer encodings (MiniGrid-compatible) -------------------------------
+
+UNSEEN, EMPTY, WALL, FLOOR, DOOR, KEY, BALL, BOX, GOAL, LAVA, AGENT = range(11)
+RED, GREEN, BLUE, PURPLE, YELLOW, GREY = range(6)
+OPEN, CLOSED, LOCKED = range(3)
+
+IDX_TO_OBJECT = {
+    UNSEEN: "unseen", EMPTY: "empty", WALL: "wall", FLOOR: "floor",
+    DOOR: "door", KEY: "key", BALL: "ball", BOX: "box", GOAL: "goal",
+    LAVA: "lava", AGENT: "agent",
+}
+IDX_TO_COLOR = {RED: "red", GREEN: "green", BLUE: "blue", PURPLE: "purple",
+                YELLOW: "yellow", GREY: "grey"}
+
+# dir 0=right(+x), 1=down(+y), 2=left, 3=up
+DIR_TO_VEC = np.array([[1, 0], [0, 1], [-1, 0], [0, -1]], dtype=np.int32)
+DIR_NAMES = ("right", "down", "left", "up")
+
+VIEW_SIZE = 7
+_AGENT_VIEW_POS = (VIEW_SIZE // 2, VIEW_SIZE - 1)  # (3, 6)
+
+# Actions
+A_LEFT, A_RIGHT, A_FORWARD, A_PICKUP, A_DROP, A_TOGGLE, A_DONE = range(7)
+NUM_ACTIONS = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvParams:
+    """Static environment configuration (hashable; safe as a jit static arg)."""
+
+    kind: str  # "empty" | "doorkey"
+    width: int
+    height: int
+    max_steps: int
+    see_through_walls: bool
+    random_start: bool = False  # Empty-Random variants
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return (self.width, self.height, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EnvState:
+    """Per-environment dynamic state (a pytree of arrays, lives on device)."""
+
+    grid: jax.Array        # [W, H, 3] int8: (object, color, state) per cell
+    agent_pos: jax.Array   # [2] int32 (x, y)
+    agent_dir: jax.Array   # [] int32
+    carrying: jax.Array    # [3] int8 (object, color, state); object==0 → nothing
+    step_count: jax.Array  # [] int32
+    rng: jax.Array         # PRNG key consumed by autoreset
+
+
+def parse_env_id(env_id: str) -> EnvParams:
+    """Map a MiniGrid env id string to EnvParams.
+
+    Supports ``MiniGrid-Empty-NxN-v0``, ``MiniGrid-Empty-Random-NxN-v0``
+    and ``MiniGrid-DoorKey-NxN-v0``.
+    """
+    m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
+    if not m:
+        raise ValueError(f"unsupported MiniGrid env id: {env_id!r}")
+    kind = m.group(1).lower()
+    random_start = m.group(2) is not None
+    size = int(m.group(3))
+    assert size == int(m.group(4)), "only square grids are supported"
+    if kind == "empty":
+        # EmptyEnv: max_steps = 4 * size**2, see_through_walls=True.
+        return EnvParams("empty", size, size, 4 * size * size, True, random_start)
+    else:
+        # DoorKeyEnv: max_steps = 10 * size**2, see_through_walls=False.
+        return EnvParams("doorkey", size, size, 10 * size * size, False)
+
+
+# ---------------------------------------------------------------------------
+# Grid generation / reset
+# ---------------------------------------------------------------------------
+
+
+def _base_grid(params: EnvParams) -> jax.Array:
+    """Bordered empty grid with the goal in the bottom-right interior cell."""
+    w, h = params.width, params.height
+    grid = np.zeros((w, h, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = [WALL, GREY, 0]
+    grid[w - 1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = [WALL, GREY, 0]
+    grid[:, h - 1, :] = [WALL, GREY, 0]
+    grid[w - 2, h - 2, :] = [GOAL, GREEN, 0]
+    return jnp.asarray(grid)
+
+
+def _sample_free_cell(key: jax.Array, free_mask: jax.Array) -> jax.Array:
+    """Uniformly sample one cell among ``free_mask`` (== MiniGrid's
+    rejection-sampling distribution, expressed as a single categorical)."""
+    logits = jnp.where(free_mask.reshape(-1), 0.0, -jnp.inf)
+    idx = jax.random.categorical(key, logits)
+    w, h = free_mask.shape
+    return jnp.stack([idx // h, idx % h]).astype(jnp.int32)
+
+
+def _reset_empty(params: EnvParams, key: jax.Array) -> EnvState:
+    grid = _base_grid(params)
+    if params.random_start:
+        k_pos, k_dir, k_next = jax.random.split(key, 3)
+        free = grid[..., 0] == EMPTY
+        pos = _sample_free_cell(k_pos, free)
+        agent_dir = jax.random.randint(k_dir, (), 0, 4)
+    else:
+        pos = jnp.array([1, 1], dtype=jnp.int32)
+        agent_dir = jnp.int32(0)
+        k_next = key
+    return EnvState(
+        grid=grid,
+        agent_pos=pos,
+        agent_dir=jnp.int32(agent_dir),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
+def _reset_doorkey(params: EnvParams, key: jax.Array) -> EnvState:
+    w, h = params.width, params.height
+    k_split, k_agent, k_dir, k_door, k_key, k_next = jax.random.split(key, 6)
+    grid = _base_grid(params)
+
+    # Splitting wall column: rand in [2, width-3].
+    split = jax.random.randint(k_split, (), 2, w - 2)
+    xs = jnp.arange(w).reshape(w, 1)
+    wall_col = xs == split
+    grid = jnp.where(
+        wall_col[..., None],
+        jnp.asarray([WALL, GREY, 0], dtype=jnp.int8),
+        grid,
+    )
+
+    # Agent: uniform over empty cells strictly left of the wall.
+    ys = jnp.arange(h).reshape(1, h)
+    left_free = (grid[..., 0] == EMPTY) & (xs < split)
+    agent_pos = _sample_free_cell(k_agent, left_free)
+    agent_dir = jax.random.randint(k_dir, (), 0, 4)
+
+    # Locked yellow door in the wall; row sampled in [1, width-3]
+    # (MiniGrid's DoorKey uses `width` here — replicated for parity).
+    door_y = jax.random.randint(k_door, (), 1, w - 2)
+    grid = grid.at[split, door_y].set(jnp.asarray([DOOR, YELLOW, LOCKED], dtype=jnp.int8))
+
+    # Yellow key: empty cell left of the wall, not the agent's cell.
+    key_free = (
+        (grid[..., 0] == EMPTY)
+        & (xs < split)
+        & ~((xs == agent_pos[0]) & (ys == agent_pos[1]))
+    )
+    key_pos = _sample_free_cell(k_key, key_free)
+    grid = grid.at[key_pos[0], key_pos[1]].set(
+        jnp.asarray([KEY, YELLOW, 0], dtype=jnp.int8)
+    )
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jnp.int32(agent_dir),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def reset(params: EnvParams, key: jax.Array) -> EnvState:
+    if params.kind == "empty":
+        return _reset_empty(params, key)
+    if params.kind == "doorkey":
+        return _reset_doorkey(params, key)
+    raise ValueError(params.kind)
+
+
+# ---------------------------------------------------------------------------
+# Step
+# ---------------------------------------------------------------------------
+
+
+def _can_overlap(cell: jax.Array) -> jax.Array:
+    obj, state = cell[0], cell[2]
+    return (
+        (obj == EMPTY) | (obj == FLOOR) | (obj == GOAL) | (obj == LAVA)
+        | ((obj == DOOR) & (state == OPEN))
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def step(
+    params: EnvParams, state: EnvState, action: jax.Array
+) -> tuple[EnvState, jax.Array, jax.Array, jax.Array]:
+    """One environment transition. Returns (state, reward, terminated, truncated)."""
+    action = action.astype(jnp.int32)
+    step_count = state.step_count + 1
+
+    dir_vec = jnp.asarray(DIR_TO_VEC)
+    agent_dir = state.agent_dir
+    fwd = state.agent_pos + dir_vec[agent_dir]
+    fx = jnp.clip(fwd[0], 0, params.width - 1)
+    fy = jnp.clip(fwd[1], 0, params.height - 1)
+    fwd_cell = state.grid[fx, fy]
+    fobj, fcol, fstate = fwd_cell[0], fwd_cell[1], fwd_cell[2]
+
+    # -- turn
+    new_dir = jnp.where(
+        action == A_LEFT, (agent_dir - 1) % 4,
+        jnp.where(action == A_RIGHT, (agent_dir + 1) % 4, agent_dir),
+    )
+
+    # -- forward
+    moves = (action == A_FORWARD) & _can_overlap(fwd_cell)
+    new_pos = jnp.where(moves, fwd, state.agent_pos)
+    reached_goal = (action == A_FORWARD) & (fobj == GOAL)
+    hit_lava = (action == A_FORWARD) & (fobj == LAVA)
+    terminated = reached_goal | hit_lava
+    reward = jnp.where(
+        reached_goal,
+        1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+        0.0,
+    )
+
+    # -- pickup
+    can_pickup = (fobj == KEY) | (fobj == BALL) | (fobj == BOX)
+    does_pickup = (action == A_PICKUP) & can_pickup & (state.carrying[0] == 0)
+    # -- drop
+    does_drop = (action == A_DROP) & (fobj == EMPTY) & (state.carrying[0] != 0)
+    # -- toggle (doors only; the envs here contain no boxes)
+    is_door = fobj == DOOR
+    has_matching_key = (state.carrying[0] == KEY) & (state.carrying[1] == fcol)
+    unlocks = is_door & (fstate == LOCKED) & has_matching_key
+    opens = is_door & (fstate == CLOSED)
+    closes = is_door & (fstate == OPEN)
+    new_door_state = jnp.where(
+        unlocks | opens, OPEN, jnp.where(closes, CLOSED, fstate)
+    ).astype(jnp.int8)
+    does_toggle = (action == A_TOGGLE) & is_door
+
+    empty_cell = jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8)
+    toggled_cell = fwd_cell.at[2].set(new_door_state)
+    new_fwd_cell = jnp.where(
+        does_pickup,
+        empty_cell,
+        jnp.where(
+            does_drop,
+            state.carrying,
+            jnp.where(does_toggle, toggled_cell, fwd_cell),
+        ),
+    )
+    grid = state.grid.at[fx, fy].set(new_fwd_cell)
+
+    carrying = jnp.where(
+        does_pickup, fwd_cell, jnp.where(does_drop, empty_cell * 0, state.carrying)
+    )
+
+    truncated = step_count >= params.max_steps
+
+    new_state = EnvState(
+        grid=grid,
+        agent_pos=new_pos,
+        agent_dir=new_dir,
+        carrying=carrying,
+        step_count=step_count,
+        rng=state.rng,
+    )
+    return new_state, reward, terminated, truncated
+
+
+# ---------------------------------------------------------------------------
+# Observation (7×7×3 egocentric partial view)
+# ---------------------------------------------------------------------------
+
+
+def _process_vis(view: jax.Array) -> jax.Array:
+    """MiniGrid's shadow-casting visibility over the rotated 7×7 view.
+
+    Statically unrolled (the view is tiny); vmap vectorizes across envs.
+    A cell lets light through unless it is a wall or a non-open door.
+    """
+    obj, st = view[..., 0], view[..., 2]
+    opaque = (obj == WALL) | ((obj == DOOR) & (st != OPEN))
+    mask = jnp.zeros((VIEW_SIZE, VIEW_SIZE), dtype=bool)
+    mask = mask.at[_AGENT_VIEW_POS].set(True)
+    for j in reversed(range(VIEW_SIZE)):
+        for i in range(VIEW_SIZE - 1):
+            vis = mask[i, j] & ~opaque[i, j]
+            mask = mask.at[i + 1, j].set(mask[i + 1, j] | vis)
+            if j > 0:
+                mask = mask.at[i + 1, j - 1].set(mask[i + 1, j - 1] | vis)
+                mask = mask.at[i, j - 1].set(mask[i, j - 1] | vis)
+        for i in reversed(range(1, VIEW_SIZE)):
+            vis = mask[i, j] & ~opaque[i, j]
+            mask = mask.at[i - 1, j].set(mask[i - 1, j] | vis)
+            if j > 0:
+                mask = mask.at[i - 1, j - 1].set(mask[i - 1, j - 1] | vis)
+                mask = mask.at[i, j - 1].set(mask[i, j - 1] | vis)
+    return mask
+
+
+@partial(jax.jit, static_argnames=("params",))
+def observe(params: EnvParams, state: EnvState) -> jax.Array:
+    """Egocentric ``[view, view, 3]`` uint8 observation, axis0 = view x.
+
+    Equivalent to MiniGrid ``gen_obs()['image']`` consumed through
+    ImgObsWrapper (`ppo_minigrid.py:110`).
+    """
+    f = jnp.asarray(DIR_TO_VEC)[state.agent_dir]          # forward
+    r = jnp.asarray(DIR_TO_VEC)[(state.agent_dir + 1) % 4]  # right
+    vx = jnp.arange(VIEW_SIZE).reshape(VIEW_SIZE, 1)
+    vy = jnp.arange(VIEW_SIZE).reshape(1, VIEW_SIZE)
+    steps_fwd = _AGENT_VIEW_POS[1] - vy  # 6 - vy
+    steps_right = vx - _AGENT_VIEW_POS[0]  # vx - 3
+    wx = state.agent_pos[0] + f[0] * steps_fwd + r[0] * steps_right
+    wy = state.agent_pos[1] + f[1] * steps_fwd + r[1] * steps_right
+    in_bounds = (wx >= 0) & (wx < params.width) & (wy >= 0) & (wy < params.height)
+    cells = state.grid[jnp.clip(wx, 0, params.width - 1),
+                       jnp.clip(wy, 0, params.height - 1)]
+    wall_cell = jnp.asarray([WALL, GREY, 0], dtype=jnp.int8)
+    view = jnp.where(in_bounds[..., None], cells, wall_cell)
+
+    if not params.see_through_walls:
+        vis = _process_vis(view)
+        view = jnp.where(vis[..., None], view, jnp.zeros_like(view))
+
+    # Agent cell shows the carried object (or empty if hands are free).
+    carried = jnp.where(
+        state.carrying[0] != 0,
+        state.carrying,
+        jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8),
+    )
+    view = view.at[_AGENT_VIEW_POS[0], _AGENT_VIEW_POS[1]].set(carried)
+    return view.astype(jnp.uint8)
+
+
+def describe_states(
+    grids: np.ndarray, agent_pos: np.ndarray, agent_dir: np.ndarray, max_objects: int = 3
+) -> list[str]:
+    """Symbolic text descriptions from batched env state (host-side).
+
+    Reproduces the reference's `_get_symbolic_descriptions`
+    (`clip_ppo_minigrid.py:164-211`): agent position/direction plus the
+    first ``max_objects`` non-empty cells in x-major scan order (which, on
+    a bordered grid, are border walls — replicated faithfully).
+    """
+    out = []
+    grids = np.asarray(grids)
+    agent_pos = np.asarray(agent_pos)
+    agent_dir = np.asarray(agent_dir)
+    for b in range(grids.shape[0]):
+        objs = []
+        g = grids[b]
+        w, h = g.shape[:2]
+        for x in range(w):
+            for y in range(h):
+                o = int(g[x, y, 0])
+                if o not in (UNSEEN, EMPTY):
+                    objs.append(f"{IDX_TO_OBJECT[o]} at ({x},{y})")
+                    if len(objs) >= max_objects:
+                        break
+            if len(objs) >= max_objects:
+                break
+        desc = (
+            f"agent at ({int(agent_pos[b][0])},{int(agent_pos[b][1])}) "
+            f"facing {DIR_NAMES[int(agent_dir[b])]}"
+        )
+        if objs:
+            desc += f", objects: {', '.join(objs)}"
+        out.append(desc)
+    return out

@@ -1,0 +1,190 @@
+"""Batched on-device vector environments with same-step autoreset.
+
+The reference steps eight Python envs sequentially on the host
+(`gym.vector.SyncVectorEnv`, `ppo_minigrid.py:198-200`) and pays a
+host↔device transfer every step. Here the whole batch is a pytree of
+arrays and ``reset``/``step`` are jitted batched functions, so the rollout
+can run inside ``lax.scan`` on the accelerator with zero per-step host
+traffic.
+
+Autoreset is *same-step* (the post-done observation is the next episode's
+first observation, and the final return/length are surfaced through the
+info arrays), matching the on-policy semantics CleanRL-style PPO assumes.
+Episode statistics mirror RecordEpisodeStatistics: infos carry ``_r``
+masks and ``r``/``l`` values in the vectorized format the CLIP scripts
+consume (`clip_ppo_minigrid.py:419-434`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_ppo_tpu.envs.minigrid import core as minigrid_core
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VecState:
+    """Batched env state plus episode-statistics accumulators."""
+
+    env: Any              # vmapped EnvState pytree, leading axis = num_envs
+    episode_return: jax.Array  # [N] float32 running return
+    episode_length: jax.Array  # [N] int32 running length
+
+
+def _select(done: jax.Array, a, b):
+    """tree-wise ``where(done, a, b)`` with per-leaf broadcasting."""
+    def pick(x, y):
+        d = done.reshape(done.shape + (1,) * (x.ndim - 1))
+        return jnp.where(d, x, y)
+    return jax.tree_util.tree_map(pick, a, b)
+
+
+class JaxVectorEnv:
+    """Vectorized pure-JAX environment (MiniGrid family).
+
+    Exposes two APIs:
+
+    * a **functional** one (``reset_fn`` / ``step_fn`` / ``observe_fn``)
+      returning pytrees, for use inside jitted training loops;
+    * a **host** one (``reset`` / ``step`` with numpy in/out and
+      gymnasium-style infos) for API parity with the reference scripts.
+    """
+
+    def __init__(self, env_id: str, num_envs: int, obs_size: int = 84):
+        self.env_id = env_id
+        self.num_envs = num_envs
+        self.params = minigrid_core.parse_env_id(env_id)
+        if obs_size % minigrid_core.VIEW_SIZE != 0:
+            raise ValueError("obs_size must be a multiple of the 7-cell view")
+        self.obs_size = obs_size
+        self._upscale = obs_size // minigrid_core.VIEW_SIZE
+        self.num_actions = minigrid_core.NUM_ACTIONS
+        self._jit_reset = jax.jit(self._reset_impl)
+        self._jit_step = jax.jit(self._step_impl)
+        self._host_state: VecState | None = None
+
+    # -- gymnasium-compatible space descriptions ----------------------------
+
+    @property
+    def single_action_space(self):
+        import gymnasium
+
+        return gymnasium.spaces.Discrete(self.num_actions)
+
+    @property
+    def single_observation_space(self):
+        import gymnasium
+
+        return gymnasium.spaces.Box(
+            0, 255, (self.obs_size, self.obs_size, 3), dtype=np.uint8
+        )
+
+    # -- functional API ------------------------------------------------------
+
+    def observe_fn(self, state: VecState) -> jax.Array:
+        """[N, obs, obs, 3] uint8 observations (nearest 12× upscale of the
+        7×7 symbolic view — exactly gymnasium ResizeObservation INTER_AREA
+        at integer zoom, `ppo_minigrid.py:114`)."""
+        view = jax.vmap(minigrid_core.observe, in_axes=(None, 0))(
+            self.params, state.env
+        )
+        view = jnp.repeat(view, self._upscale, axis=1)
+        view = jnp.repeat(view, self._upscale, axis=2)
+        return view
+
+    def _reset_impl(self, key: jax.Array) -> tuple[VecState, jax.Array]:
+        keys = jax.random.split(key, self.num_envs)
+        env = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(self.params, keys)
+        state = VecState(
+            env=env,
+            episode_return=jnp.zeros(self.num_envs, jnp.float32),
+            episode_length=jnp.zeros(self.num_envs, jnp.int32),
+        )
+        return state, self.observe_fn(state)
+
+    def reset_fn(self, key: jax.Array) -> tuple[VecState, jax.Array]:
+        return self._jit_reset(key)
+
+    def _step_impl(self, state: VecState, actions: jax.Array):
+        env, reward, terminated, truncated = jax.vmap(
+            minigrid_core.step, in_axes=(None, 0, 0)
+        )(self.params, state.env, actions)
+        done = terminated | truncated
+
+        ep_return = state.episode_return + reward
+        ep_length = state.episode_length + 1
+
+        # Same-step autoreset: finished envs restart immediately; their rng
+        # chain advances because reset() stores a fresh subkey.
+        reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
+        fresh = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(
+            self.params, reset_keys
+        )
+        env = _select(done, fresh, env)
+
+        new_state = VecState(
+            env=env,
+            episode_return=jnp.where(done, 0.0, ep_return),
+            episode_length=jnp.where(done, 0, ep_length),
+        )
+        info = {
+            "done_mask": done,
+            "episode_return": jnp.where(done, ep_return, 0.0),
+            "episode_length": jnp.where(done, ep_length, 0),
+        }
+        obs = self.observe_fn(new_state)
+        return new_state, obs, reward, terminated, truncated, info
+
+    def step_fn(self, state: VecState, actions: jax.Array):
+        return self._jit_step(state, actions)
+
+    # -- host API (reference-script compatible) ------------------------------
+
+    def reset(self, seed: int = 0):
+        state, obs = self.reset_fn(jax.random.PRNGKey(seed))
+        self._host_state = state
+        return np.asarray(obs), {}
+
+    def step(self, actions: np.ndarray):
+        assert self._host_state is not None, "call reset() first"
+        state, obs, reward, terminated, truncated, info = self.step_fn(
+            self._host_state, jnp.asarray(actions)
+        )
+        self._host_state = state
+        done_mask = np.asarray(info["done_mask"])
+        infos: dict = {}
+        if done_mask.any():
+            infos["episode"] = {
+                "_r": done_mask,
+                "r": np.asarray(info["episode_return"]),
+                "l": np.asarray(info["episode_length"]),
+            }
+        return (
+            np.asarray(obs),
+            np.asarray(reward),
+            np.asarray(terminated),
+            np.asarray(truncated),
+            infos,
+        )
+
+    def close(self):
+        self._host_state = None
+
+    # -- symbolic descriptions (host) ----------------------------------------
+
+    def describe(self, state: VecState | None = None) -> list[str]:
+        """Text descriptions of the current (or given) batched state."""
+        st = state if state is not None else self._host_state
+        assert st is not None
+        return minigrid_core.describe_states(
+            np.asarray(st.env.grid),
+            np.asarray(st.env.agent_pos),
+            np.asarray(st.env.agent_dir),
+        )

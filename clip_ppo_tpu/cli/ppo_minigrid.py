@@ -1,0 +1,232 @@
+"""Vanilla PPO on MiniGrid — flag-compatible with the reference
+`minigrid_experiments/ppo/ppo_minigrid.py`, rebuilt TPU-native.
+
+The rollout, GAE and the 4×4 minibatch update compile into ONE XLA
+program per iteration (env included — the MiniGrid lives on-device), so
+there is no per-step host↔device sync. TensorBoard tags, checkpoint
+payloads/naming, derived batch sizes, the save-frequency divisibility
+quirk, and the CLI surface match the reference exactly.
+
+Usage:
+    python -m clip_ppo_tpu.cli.ppo_minigrid --total-timesteps 100000
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from clip_ppo_tpu.envs import JaxVectorEnv
+from clip_ppo_tpu.io import (
+    SummaryWriter,
+    hyperparameters_table,
+    load_checkpoint,
+    save_checkpoint,
+)
+from clip_ppo_tpu.models import init_agent_params
+from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
+from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.utils import flags
+
+
+@dataclass
+class Args:
+    exp_name: str = "ppo_minigrid"
+    """the name of this experiment"""
+    seed: int = 1
+    """seed of the experiment"""
+    torch_deterministic: bool = True
+    """accepted for flag parity; JAX is deterministic by construction"""
+    cuda: bool = True
+    """accepted for flag parity; device selection is JAX's platform"""
+    track: bool = False
+    """if toggled, this experiment will be tracked with Weights and Biases"""
+    wandb_project_name: str = "cleanRL"
+    """the wandb's project name"""
+    wandb_entity: Optional[str] = None
+    """the entity (team) of wandb's project"""
+    capture_video: bool = True
+    """whether to capture videos of the agent performances"""
+
+    # Algorithm specific arguments
+    env_id: str = "MiniGrid-Empty-16x16-v0"
+    """the id of the environment"""
+    total_timesteps: int = 5_000_000
+    """total timesteps of the experiments"""
+    learning_rate: float = 2.5e-4
+    """the learning rate of the optimizer"""
+    num_envs: int = 8
+    """the number of parallel game environments"""
+    num_steps: int = 128
+    """the number of steps to run in each environment per policy rollout"""
+    anneal_lr: bool = True
+    """Toggle learning rate annealing for policy and value networks"""
+    gamma: float = 0.99
+    """the discount factor gamma"""
+    gae_lambda: float = 0.95
+    """the lambda for the general advantage estimation"""
+    num_minibatches: int = 4
+    """the number of mini-batches"""
+    update_epochs: int = 4
+    """the K epochs to update the policy"""
+    norm_adv: bool = True
+    """Toggles advantages normalization"""
+    clip_coef: float = 0.1
+    """the surrogate clipping coefficient"""
+    clip_vloss: bool = True
+    """Toggles whether or not to use a clipped loss for the value function"""
+    ent_coef: float = 0.01
+    """coefficient of the entropy"""
+    vf_coef: float = 0.5
+    """coefficient of the value function"""
+    max_grad_norm: float = 0.5
+    """the maximum norm for the gradient clipping"""
+    target_kl: Optional[float] = None
+    """the target KL divergence threshold"""
+
+    # Model saving arguments
+    save_model: bool = True
+    """whether to save model checkpoints"""
+    save_freq: int = 100000
+    """save model every N timesteps"""
+    model_path: str = "checkpoints"
+    """directory to save model checkpoints"""
+
+    # Visual disturbance arguments
+    apply_disturbances: bool = False
+    """whether to apply visual disturbances during training"""
+    disturbance_severity: str = "MILD"
+    """disturbance severity level: MILD, MODERATE, SEVERE"""
+
+    # to be filled in runtime
+    batch_size: int = 0
+    """the batch size (computed in runtime)"""
+    minibatch_size: int = 0
+    """the mini-batch size (computed in runtime)"""
+    num_iterations: int = 0
+    """the number of iterations (computed in runtime)"""
+
+
+def train(args: Args, run_name: Optional[str] = None) -> dict:
+    """Run training; returns summary stats (for tests/benchmarks)."""
+    args.batch_size = int(args.num_envs * args.num_steps)
+    args.minibatch_size = int(args.batch_size // args.num_minibatches)
+    args.num_iterations = args.total_timesteps // args.batch_size
+    run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
+
+    writer = SummaryWriter(f"runs/{run_name}")
+    writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    env = JaxVectorEnv(args.env_id, args.num_envs)
+    cfg = PPOConfig(
+        learning_rate=args.learning_rate,
+        num_envs=args.num_envs,
+        num_steps=args.num_steps,
+        anneal_lr=args.anneal_lr,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
+        norm_adv=args.norm_adv,
+        clip_coef=args.clip_coef,
+        clip_vloss=args.clip_vloss,
+        ent_coef=args.ent_coef,
+        vf_coef=args.vf_coef,
+        max_grad_norm=args.max_grad_norm,
+        target_kl=args.target_kl,
+    )
+
+    disturbance = None
+    if args.apply_disturbances:
+        # The vanilla script uses the per-image pipeline
+        # (`ppo_minigrid.py:206-211,260-263`).
+        disturbance = resolve_params(DisturbanceSeverity[args.disturbance_severity])
+        print(f"Disturbances enabled with severity: {args.disturbance_severity}")
+    else:
+        print("Disturbances disabled")
+
+    trainer = Trainer(
+        cfg,
+        env,
+        num_iterations=args.num_iterations,
+        disturbance=disturbance,
+        disturbance_semantics="per_image",
+    )
+    params = init_agent_params(
+        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
+    )
+    state = trainer.init_state(params, args.seed)
+
+    checkpoint_path = None
+    if args.save_model:
+        os.makedirs(args.model_path, exist_ok=True)
+        checkpoint_path = os.path.join(args.model_path, run_name)
+
+    global_step = 0
+    start_time = time.time()
+    last_returns = []
+    b_returns = None
+
+    for iteration in range(1, args.num_iterations + 1):
+        state, scalars, episode_stats = trainer.run_iteration(state, iteration)
+
+        # Host-side logging (the only device→host traffic per iteration).
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+        if args.save_model and global_step % args.save_freq == 0:
+            save_checkpoint(
+                checkpoint_path, state.params, state.opt_state,
+                iteration, global_step, args,
+            )
+
+    if args.save_model:
+        save_checkpoint(
+            checkpoint_path, state.params, state.opt_state,
+            args.num_iterations, global_step, args, final=True,
+        )
+
+    env.close()
+    writer.close()
+    return {
+        "global_step": global_step,
+        "sps": global_step / (time.time() - start_time),
+        "recent_returns": last_returns[-100:],
+        "run_name": run_name,
+    }
+
+
+def main() -> None:
+    train(flags.parse(Args))
+
+
+if __name__ == "__main__":
+    main()

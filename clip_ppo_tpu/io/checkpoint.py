@@ -1,0 +1,108 @@
+"""Checkpoint save/load with the reference's naming and payload schema.
+
+Payload mirrors `shared/checkpoint_utils.py:9-46`: iteration, global_step,
+agent + optimizer state, the args dict, the last batch returns, a
+``training_complete`` flag, and optional ``extra_models``. Naming:
+``{prefix}_step_{global_step}.ckpt`` plus a ``_latest.ckpt`` overwrite and
+``_final.ckpt`` at the end of training.
+
+Arrays are stored as numpy inside a single pickle per checkpoint (the
+analog of a torch .pt file); pytree structure is preserved, so restoring
+is a pure tree_map back onto device — mesh/sharding-agnostic, which is
+what makes resume work across host topologies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from enum import Enum
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _jsonable(value):
+    if isinstance(value, Enum):
+        return value.value
+    if dataclasses.is_dataclass(value) and not isinstance(value, type):
+        return {f.name: _jsonable(getattr(value, f.name)) for f in dataclasses.fields(value)}
+    if isinstance(value, (list, tuple)):
+        return type(value)(_jsonable(v) for v in value)
+    return value
+
+
+def save_checkpoint(
+    prefix: str,
+    params: dict,
+    opt_state: Any,
+    iteration: int,
+    global_step: int,
+    args: Any,
+    b_returns: Optional[np.ndarray] = None,
+    final: bool = False,
+    extra_models: Optional[dict] = None,
+) -> str:
+    checkpoint = {
+        "iteration": int(iteration),
+        "global_step": int(global_step),
+        "agent_state": _to_numpy(params),
+        "optimizer_state": _to_numpy(opt_state),
+        "args": _jsonable(
+            dataclasses.asdict(args) if dataclasses.is_dataclass(args) else dict(args)
+        ),
+        "returns": np.asarray(b_returns) if b_returns is not None else None,
+        "training_complete": bool(final),
+    }
+    if extra_models:
+        for name, tree in extra_models.items():
+            if tree is not None:
+                checkpoint[f"{name}_state"] = _to_numpy(tree)
+
+    if final:
+        filename = f"{prefix}_final.ckpt"
+        print(f"Final model saved: {filename}")
+    else:
+        filename = f"{prefix}_step_{global_step}.ckpt"
+        print(f"Model saved at step {global_step}")
+        with open(f"{prefix}_latest.ckpt", "wb") as f:
+            pickle.dump(checkpoint, f)
+
+    with open(filename, "wb") as f:
+        pickle.dump(checkpoint, f)
+    return filename
+
+
+def load_checkpoint(
+    path: str,
+    params_template: dict,
+    opt_state_template: Any,
+) -> tuple[dict, Any, int, int, dict]:
+    """Restore (params, opt_state, iteration, global_step, raw_checkpoint).
+
+    Like the reference loader (`checkpoint_utils.py:49-80`), warns when
+    resuming from a final checkpoint.
+    """
+    print(f"Loading checkpoint from {path}")
+    with open(path, "rb") as f:
+        checkpoint = pickle.load(f)
+
+    params = jax.tree_util.tree_map(
+        lambda t, a: jnp.asarray(a), params_template, checkpoint["agent_state"]
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda t, a: jnp.asarray(a), opt_state_template, checkpoint["optimizer_state"]
+    )
+    iteration = checkpoint["iteration"]
+    global_step = checkpoint["global_step"]
+    print(f"Checkpoint loaded: iteration {iteration}, global_step {global_step}")
+    if checkpoint.get("training_complete", False):
+        print("Warning: This was a final checkpoint - training was marked as complete")
+    return params, opt_state, iteration, global_step, checkpoint

@@ -1,0 +1,124 @@
+"""Actor-critic agent: functional policy/value heads over a feature trunk.
+
+Mirrors the reference `Agent` API surface — ``get_action_and_value``,
+``get_value``, ``get_latent_representation`` (`ppo_minigrid.py:151-162`,
+`clip_ppo_minigrid.py:269-271`) — as pure functions over a params pytree.
+Categorical sampling/entropy are computed from logits exactly as
+torch.distributions.Categorical does.
+
+Feature trunks are pluggable (Nature-CNN here; frozen-CLIP-visual in
+`clip_ppo_tpu.models.clip`), selected by ablation mode like the reference
+(`clip_ppo_minigrid.py:214-271`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_ppo_tpu.models import nature_cnn as cnn
+
+
+class AblationMode(Enum):
+    """Ablation study modes (reference `clip_ppo_utils.py:13-18`)."""
+
+    NONE = "NONE"
+    FROZEN_CLIP = "FROZEN_CLIP"
+    RANDOM_ENCODER = "RANDOM_ENCODER"
+
+
+def init_agent_params(
+    key: jax.Array,
+    num_actions: int,
+    in_channels: int = 3,
+    hidden: int = 512,
+    with_temporal_projection: bool = False,
+) -> dict:
+    """Initialize agent parameters.
+
+    ``with_temporal_projection`` adds the 4·512→512 linear the Atari
+    CLIP-PPO agent uses for frame-stacked CLIP features
+    (`clip_ppo_atari.py:183-187`).
+    """
+    k_tr, k_actor, k_critic, k_tp = jax.random.split(key, 4)
+    params = {
+        "trunk": cnn.init_nature_cnn(k_tr, in_channels, hidden),
+        "actor": cnn.init_dense(k_actor, hidden, num_actions, scale=0.01),
+        "critic": cnn.init_dense(k_critic, hidden, 1, scale=1.0),
+    }
+    if with_temporal_projection:
+        params["temporal_projection"] = cnn.init_dense(
+            k_tp, 4 * hidden, hidden, scale=np.sqrt(2)
+        )
+    return params
+
+
+FeatureFn = Callable[[dict, jax.Array], jax.Array]
+
+
+def cnn_features(params: dict, obs: jax.Array, dtype=None) -> jax.Array:
+    """uint8 [B,H,W,C] observations → [B, hidden] features (x/255 inside)."""
+    x = obs.astype(jnp.float32) / 255.0
+    return cnn.nature_cnn(params["trunk"], x, dtype)
+
+
+def heads(params: dict, hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
+    logits = cnn.dense(params["actor"], hidden)
+    value = cnn.dense(params["critic"], hidden)[..., 0]
+    return logits, value
+
+
+def logprob_entropy(logits: jax.Array, action: jax.Array) -> tuple[jax.Array, jax.Array]:
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, action[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    p = jnp.exp(logp_all)
+    entropy = -jnp.sum(p * logp_all, axis=-1)
+    return logp, entropy
+
+
+def get_action_and_value(
+    params: dict,
+    obs: jax.Array,
+    key: jax.Array,
+    features_fn: FeatureFn = cnn_features,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sample an action; returns (action, logprob, entropy, value)."""
+    hidden = features_fn(params, obs)
+    logits, value = heads(params, hidden)
+    action = jax.random.categorical(key, logits)
+    logp, entropy = logprob_entropy(logits, action)
+    return action, logp, entropy, value
+
+
+def evaluate_actions(
+    params: dict,
+    obs: jax.Array,
+    action: jax.Array,
+    features_fn: FeatureFn = cnn_features,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (logprob, entropy, value, hidden) for given actions."""
+    hidden = features_fn(params, obs)
+    logits, value = heads(params, hidden)
+    logp, entropy = logprob_entropy(logits, action)
+    return logp, entropy, value, hidden
+
+
+def get_value(
+    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features
+) -> jax.Array:
+    hidden = features_fn(params, obs)
+    return cnn.dense(params["critic"], hidden)[..., 0]
+
+
+def get_latent_representation(
+    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features
+) -> jax.Array:
+    """Detached latent for CLIP alignment (`clip_ppo_minigrid.py:269-271`):
+    gradients never flow into the trunk through the CLIP loss."""
+    return jax.lax.stop_gradient(features_fn(params, obs))

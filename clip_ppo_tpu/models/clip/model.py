@@ -1,0 +1,223 @@
+"""Pure-JAX CLIP: ViT image encoder + causal transformer text encoder.
+
+TPU-native replacement for the dependency-provided CLIP the reference
+calls into (`clip_ppo_utils.py:90,138,163,211-215`): pre-LN transformer
+blocks with QuickGELU, class token + learned positional embeddings, and
+the final projection, expressed as pure functions over a params pytree so
+the encoder fuses into the jitted training graph (the per-iteration
+1024-frame batch encode is the dominant CLIP cost — SURVEY §3 hot loop c).
+
+Layout/throughput notes:
+* images flow NHWC; the patch embed is an MXU-friendly reshape+matmul
+  (a stride=patch VALID conv is exactly a per-patch matmul — XLA maps
+  either onto the MXU, the matmul form avoids any im2col ambiguity);
+* ``compute_dtype=bfloat16`` runs every matmul on the MXU at full rate
+  with fp32 LayerNorm statistics and fp32 output, which keeps embeddings
+  within fp32-vs-fp16 tolerance of the reference (which runs fp16);
+* attention over 50/77 tokens is batched einsum MHA — at these sequence
+  lengths a flash-attention kernel buys nothing; the MXU is saturated by
+  the MLPs.
+
+Weight-key layout mirrors OpenAI's module names (visual.transformer.
+resblocks.N..., transformer.resblocks.N..., see loader.py for the
+HF-checkpoint converter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_ppo_tpu.models.clip.config import CLIPConfig
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """OpenAI CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, heads: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, heads, d // heads)
+
+
+def attention(
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """Multi-head self-attention (fused qkv projection)."""
+    d = x.shape[-1]
+    qkv = x @ p["in_proj_w"].astype(x.dtype).T + p["in_proj_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, heads)
+    k = _split_heads(k, heads)
+    v = _split_heads(v, heads)
+    scale = 1.0 / np.sqrt(d // heads)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", weights, v)
+    out = out.reshape(x.shape)
+    return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
+
+
+def resblock(
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """Pre-LN transformer block with QuickGELU MLP (width → 4·width)."""
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask)
+    h = layer_norm(p["ln_2"], x)
+    h = h @ p["mlp"]["fc_w"].astype(x.dtype).T + p["mlp"]["fc_b"].astype(x.dtype)
+    h = quick_gelu(h)
+    h = h @ p["mlp"]["proj_w"].astype(x.dtype).T + p["mlp"]["proj_b"].astype(x.dtype)
+    return x + h
+
+
+def transformer(
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    for block in p["resblocks"]:
+        x = resblock(block, x, heads, mask)
+    return x
+
+
+def encode_image(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """[B, 224, 224, 3] normalized images (NHWC) → [B, embed_dim] features.
+
+    Equivalent to OpenAI ``model.encode_image`` / HF ``get_image_features``
+    up to dtype; feed with `ops.resize.preprocess_for_clip`.
+    """
+    v = params["visual"]
+    b = images.shape[0]
+    ps, g = cfg.patch_size, cfg.grid_size
+    x = images.astype(compute_dtype)
+    # Patch embed as a single matmul: [B, g, ps, g, ps, 3] → [B, g*g, ps*ps*3].
+    x = x.reshape(b, g, ps, g, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, g * g, ps * ps * 3)
+    x = x @ v["patch_embed_w"].astype(compute_dtype)  # [B, P, width], no bias
+
+    cls = v["class_embedding"].astype(compute_dtype)
+    cls = jnp.broadcast_to(cls, (b, 1, cfg.vision_width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(v["ln_pre"], x)
+    x = transformer(v["transformer"], x, cfg.vision_heads)
+    x = layer_norm(v["ln_post"], x[:, 0, :])
+    out = x @ v["proj"].astype(compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def causal_mask(t: int) -> jax.Array:
+    mask = jnp.full((t, t), -jnp.inf)
+    return jnp.triu(mask, k=1)
+
+
+def encode_text(
+    params: dict,
+    cfg: CLIPConfig,
+    tokens: jax.Array,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """[B, 77] int32 token ids → [B, embed_dim] features.
+
+    Pooled at each sequence's argmax token id (the EOT token, which has
+    the highest id) exactly as OpenAI CLIP does.
+    """
+    t = params["text"]
+    x = t["token_embedding"][tokens].astype(compute_dtype)
+    x = x + t["positional_embedding"][: tokens.shape[1]].astype(compute_dtype)
+    mask = causal_mask(tokens.shape[1])
+    x = transformer(t["transformer"], x, cfg.text_heads, mask)
+    x = layer_norm(t["ln_final"], x)
+    eot = jnp.argmax(tokens, axis=-1)
+    pooled = x[jnp.arange(x.shape[0]), eot]
+    out = pooled @ t["text_projection"].astype(compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def normalize(x: jax.Array) -> jax.Array:
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Random initialization (OpenAI's init scheme; used for tests and the
+# RANDOM_ENCODER-style ablations — real weights come from loader.py)
+# ---------------------------------------------------------------------------
+
+
+def _init_block(key, width: int) -> dict:
+    ks = jax.random.split(key, 6)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    proj_std = attn_std  # per-block scaling is applied by the caller if needed
+    return {
+        "ln_1": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
+        "ln_2": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
+        "attn": {
+            "in_proj_w": attn_std * jax.random.normal(ks[0], (3 * width, width)),
+            "in_proj_b": jnp.zeros(3 * width),
+            "out_proj_w": proj_std * jax.random.normal(ks[1], (width, width)),
+            "out_proj_b": jnp.zeros(width),
+        },
+        "mlp": {
+            "fc_w": fc_std * jax.random.normal(ks[2], (4 * width, width)),
+            "fc_b": jnp.zeros(4 * width),
+            "proj_w": proj_std * jax.random.normal(ks[3], (width, 4 * width)),
+            "proj_b": jnp.zeros(width),
+        },
+    }
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> dict:
+    kv, kt = jax.random.split(key)
+    kvs = jax.random.split(kv, cfg.vision_layers + 4)
+    kts = jax.random.split(kt, cfg.text_layers + 4)
+    vw, tw = cfg.vision_width, cfg.text_width
+    visual = {
+        "patch_embed_w": (vw ** -0.5)
+        * jax.random.normal(kvs[0], (cfg.patch_size * cfg.patch_size * 3, vw)),
+        "class_embedding": (vw ** -0.5) * jax.random.normal(kvs[1], (vw,)),
+        "positional_embedding": (vw ** -0.5)
+        * jax.random.normal(kvs[2], (cfg.num_patches + 1, vw)),
+        "ln_pre": {"scale": jnp.ones(vw), "bias": jnp.zeros(vw)},
+        "transformer": {
+            "resblocks": [
+                _init_block(kvs[3 + i], vw) for i in range(cfg.vision_layers)
+            ]
+        },
+        "ln_post": {"scale": jnp.ones(vw), "bias": jnp.zeros(vw)},
+        "proj": (vw ** -0.5) * jax.random.normal(kvs[3 + cfg.vision_layers], (vw, cfg.embed_dim)),
+    }
+    text = {
+        "token_embedding": 0.02 * jax.random.normal(kts[0], (cfg.vocab_size, tw)),
+        "positional_embedding": 0.01
+        * jax.random.normal(kts[1], (cfg.context_length, tw)),
+        "transformer": {
+            "resblocks": [
+                _init_block(kts[2 + i], tw) for i in range(cfg.text_layers)
+            ]
+        },
+        "ln_final": {"scale": jnp.ones(tw), "bias": jnp.zeros(tw)},
+        "text_projection": (tw ** -0.5)
+        * jax.random.normal(kts[2 + cfg.text_layers], (tw, cfg.embed_dim)),
+    }
+    return {"visual": visual, "text": text}

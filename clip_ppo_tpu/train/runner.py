@@ -1,0 +1,223 @@
+"""Training runner: one jitted program per PPO iteration.
+
+The reference iteration is host-driven (rollout loop, GAE loop, 16
+minibatch steps — `ppo_minigrid.py:235-350`). Here it is a single jitted
+function: rollout scan → GAE scan → update scans, with only the logging
+scalars and episode statistics returned to the host. For CLIP text
+modality the iteration is split in two jitted halves around the host-side
+description/tokenization step (SURVEY §7 hard part 6); the image modality
+stays fully in-graph because the CLIP image encoder is device compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from clip_ppo_tpu.models import agent as agent_mod
+from clip_ppo_tpu.ops import DisturbanceParams
+from clip_ppo_tpu.train import gae as gae_mod
+from clip_ppo_tpu.train import ppo as ppo_mod
+from clip_ppo_tpu.train import rollout as rollout_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: Any
+    vec_state: Any
+    obs: jax.Array
+    next_done: jax.Array
+    key: jax.Array
+
+
+class Trainer:
+    """Owns the jitted train-iteration; host code only logs and checkpoints.
+
+    Args:
+        cfg: PPO hyperparameters (static).
+        env: JaxVectorEnv.
+        num_iterations: total iterations (static, for LR anneal).
+        disturbance: optional DisturbanceParams applied on-device each step.
+        features_fn: agent feature trunk.
+        embed_images_fn: optional in-graph CLIP image-embedding function
+            ``(b_obs_uint8 [B,H,W,C]) -> [B, D]`` for image modality
+            (concat-per-frame for Atari happens inside it).
+        clip_lambda: target λ for the alignment loss (warmup applied here,
+            `clip_ppo_utils.py:26-46`).
+        clip_warmup_fraction: fraction of iterations for linear λ warmup.
+    """
+
+    def __init__(
+        self,
+        cfg: ppo_mod.PPOConfig,
+        env,
+        num_iterations: int,
+        disturbance: Optional[DisturbanceParams] = None,
+        disturbance_semantics: str = "batched",
+        features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
+        embed_images_fn: Optional[Callable] = None,
+        clip_lambda: float = 0.0,
+        clip_warmup_fraction: float = 0.2,
+    ):
+        self.cfg = cfg
+        self.env = env
+        self.num_iterations = num_iterations
+        self.disturbance = disturbance
+        self.disturbance_semantics = disturbance_semantics
+        self.features_fn = features_fn
+        self.embed_images_fn = embed_images_fn
+        self.clip_lambda = clip_lambda
+        self.clip_warmup_fraction = clip_warmup_fraction
+        self.optimizer = ppo_mod.make_optimizer(cfg)
+        self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
+        self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
+        self._jit_update_half = jax.jit(self._update_half, donate_argnums=(0,))
+
+    # -- initialization ------------------------------------------------------
+
+    def init_state(self, params: dict, seed: int) -> TrainState:
+        key = jax.random.PRNGKey(seed)
+        key, k_env = jax.random.split(key)
+        vec_state, obs = self.env.reset_fn(k_env)
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            vec_state=vec_state,
+            obs=obs,
+            next_done=jnp.zeros(self.env.num_envs, jnp.float32),
+            key=key,
+        )
+
+    def clip_lambda_eff(self, iteration: jax.Array) -> jax.Array:
+        """λ with linear warmup over the first ``clip_warmup_fraction`` of
+        training; iteration is 1-indexed, warmup uses ``iteration-1``."""
+        warmup_iters = int(self.num_iterations * self.clip_warmup_fraction)
+        cur = iteration.astype(jnp.float32) - 1.0
+        if warmup_iters <= 0:
+            return jnp.float32(self.clip_lambda)
+        return jnp.where(
+            cur < warmup_iters,
+            self.clip_lambda * (cur / warmup_iters),
+            self.clip_lambda,
+        )
+
+    # -- fused path (no CLIP, or in-graph image CLIP) -------------------------
+
+    def _rollout(self, state: TrainState):
+        vec_state, obs, next_done, key, batch = rollout_mod.collect_rollout(
+            state.params,
+            self.env,
+            state.vec_state,
+            state.obs,
+            state.next_done,
+            state.key,
+            self.cfg.num_steps,
+            self.disturbance,
+            self.disturbance_semantics,
+            self.features_fn,
+        )
+        state = dataclasses.replace(
+            state, vec_state=vec_state, obs=obs, next_done=next_done, key=key
+        )
+        return state, batch
+
+    def _flatten(self, state: TrainState, batch: rollout_mod.RolloutBatch):
+        next_value = agent_mod.get_value(state.params, state.obs, self.features_fn)
+        advantages, returns = gae_mod.compute_gae(
+            batch.rewards, batch.values, batch.dones,
+            next_value, state.next_done, self.cfg.gamma, self.cfg.gae_lambda,
+        )
+        bs = self.cfg.batch_size
+        flat = {
+            "obs": batch.obs.reshape((bs,) + batch.obs.shape[2:]),
+            "actions": batch.actions.reshape(bs),
+            "logprobs": batch.logprobs.reshape(bs),
+            "advantages": advantages.reshape(bs),
+            "returns": returns.reshape(bs),
+            "values": batch.values.reshape(bs),
+        }
+        return flat
+
+    def _update(self, state: TrainState, flat: dict, iteration: jax.Array,
+                clip_embeddings: Optional[jax.Array]):
+        lr = (
+            ppo_mod.anneal_lr(self.cfg, iteration, self.num_iterations)
+            if self.cfg.anneal_lr
+            else jnp.float32(self.cfg.learning_rate)
+        )
+        opt_state = ppo_mod.set_learning_rate(state.opt_state, lr)
+        key, k_update = jax.random.split(state.key)
+        params, opt_state, metrics = ppo_mod.update_epochs(
+            state.params, opt_state, flat, k_update, self.cfg, self.optimizer,
+            self.features_fn, clip_embeddings,
+            self.clip_lambda_eff(iteration),
+        )
+        state = dataclasses.replace(
+            state, params=params, opt_state=opt_state, key=key
+        )
+        scalars = {
+            "learning_rate": lr,
+            "value_loss": metrics.v_loss,
+            "policy_loss": metrics.pg_loss,
+            "entropy": metrics.entropy,
+            "old_approx_kl": metrics.old_approx_kl,
+            "approx_kl": metrics.approx_kl,
+            "clipfrac": metrics.clipfrac,
+            "explained_variance": ppo_mod.explained_variance(
+                flat["values"], flat["returns"]
+            ),
+            "clip_loss": metrics.clip_loss,
+        }
+        return state, scalars
+
+    def _iteration(self, state: TrainState, iteration: jax.Array):
+        state, batch = self._rollout(state)
+        flat = self._flatten(state, batch)
+        clip_embeddings = None
+        if self.embed_images_fn is not None:
+            clip_embeddings = self.embed_images_fn(flat["obs"])
+        state, scalars = self._update(state, flat, iteration, clip_embeddings)
+        episode_stats = {
+            "done_mask": batch.done_mask,
+            "episode_return": batch.episode_return,
+            "episode_length": batch.episode_length,
+        }
+        return state, scalars, episode_stats
+
+    def run_iteration(self, state: TrainState, iteration: int):
+        """Fused path: the whole iteration is one device program."""
+        return self._jit_iteration(state, jnp.int32(iteration))
+
+    # -- split path (text modality: host descriptions between halves) ---------
+
+    def _rollout_half(self, state: TrainState):
+        state, batch = self._rollout(state)
+        flat = self._flatten(state, batch)
+        episode_stats = {
+            "done_mask": batch.done_mask,
+            "episode_return": batch.episode_return,
+            "episode_length": batch.episode_length,
+        }
+        desc_state = {"agent_pos": batch.agent_pos, "agent_dir": batch.agent_dir}
+        return state, flat, episode_stats, desc_state
+
+    def _update_half(self, state: TrainState, flat: dict, iteration: jax.Array,
+                     clip_embeddings: Optional[jax.Array]):
+        return self._update(state, flat, iteration, clip_embeddings)
+
+    def run_rollout_half(self, state: TrainState):
+        return self._jit_rollout_half(state)
+
+    def run_update_half(self, state, flat, iteration: int, clip_embeddings):
+        return self._jit_update_half(
+            state, flat, jnp.int32(iteration), clip_embeddings
+        )

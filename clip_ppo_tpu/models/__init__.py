@@ -7,8 +7,10 @@ from clip_ppo_tpu.models.agent import (
     get_value,
     init_agent_params,
 )
+from clip_ppo_tpu.models import clip_utils
 
 __all__ = [
+    "clip_utils",
     "AblationMode",
     "cnn_features",
     "evaluate_actions",

@@ -59,13 +59,15 @@ def apply_contrast_blend(
 ) -> jax.Array:
     """Contrast jitter with blend-toward-gray-mean (ColorJitter) semantics.
 
-    One factor is drawn per image; the blend target is the per-image mean of
-    the grayscale (luma for RGB, channel mean otherwise), exactly the
-    batched-path semantics the CLIP scripts trained with.
+    torchvision's ColorJitter draws ONE factor per call, shared by the
+    whole batch (the transform is applied to the [B,C,H,W] tensor at
+    `disturbances_gpu.py:110`); the blend target is the per-image mean of
+    the grayscale (luma for RGB, channel mean otherwise). Replicated
+    exactly — these are the semantics the CLIP scripts trained with.
     """
     b = x.shape[0]
     lo, hi = contrast_range
-    factor = jax.random.uniform(key, (b, 1, 1, 1), dtype=x.dtype, minval=lo, maxval=hi)
+    factor = jax.random.uniform(key, (), dtype=x.dtype, minval=lo, maxval=hi)
     if x.shape[-1] == 3:
         gray = jnp.einsum("bhwc,c->bhw", x, jnp.asarray(_LUMA, dtype=x.dtype))
         mean = jnp.mean(gray, axis=(1, 2)).reshape(b, 1, 1, 1)
@@ -165,7 +167,7 @@ def disturb(
     x: jax.Array,
     key: jax.Array,
     params: DisturbanceParams,
-    semantics: Literal["batched", "per_image"] = "batched",
+    semantics: Literal["batched", "per_image", "stack_frames"] = "batched",
 ) -> jax.Array:
     """Apply the full noise → contrast → blur → cutout pipeline.
 
@@ -176,11 +178,27 @@ def disturb(
         semantics: ``"batched"`` for the batch-level semantics the CLIP
             scripts train with; ``"per_image"`` for the per-image path
             (multiplicative contrast, per-image cutout, uint8 quantization
-            between stages) used by the vanilla MiniGrid script.
+            between stages) used by the vanilla MiniGrid script;
+            ``"stack_frames"`` for grayscale frame stacks, applying the
+            batched pipeline independently per frame like the reference's
+            per-frame loop (`clip_ppo_atari.py:568-584`).
 
     Returns:
         Disturbed ``[B, H, W, C]`` float array in [0, 1].
     """
+    if semantics == "stack_frames":
+        # Frame-stacked observations ([B, H, W, S] grayscale stacks): the
+        # reference loops the torchvision pipeline over the S frames
+        # because its transforms need 1-or-3-channel input
+        # (`clip_ppo_atari.py:568-584`) — each frame gets its own noise,
+        # contrast factor and cutout position, shared across the batch
+        # within a frame. vmap over frames reproduces that exactly.
+        s = x.shape[-1]
+        frames = jnp.moveaxis(x, -1, 0)[..., None]  # [S, B, H, W, 1]
+        keys = jax.random.split(key, s)
+        out = jax.vmap(lambda f, k: disturb(f, k, params, "batched"))(frames, keys)
+        return jnp.moveaxis(out[..., 0], 0, -1)
+
     k_noise, k_contrast, k_cutout = jax.random.split(key, 3)
     if semantics == "batched":
         x = apply_gaussian_noise(x, k_noise, params.gaussian_noise_sigma)
@@ -209,7 +227,7 @@ def disturb_uint8(
     x: jax.Array,
     key: jax.Array,
     params: DisturbanceParams,
-    semantics: Literal["batched", "per_image"] = "batched",
+    semantics: Literal["batched", "per_image", "stack_frames"] = "batched",
 ) -> jax.Array:
     """Convenience wrapper: uint8 ``[B, H, W, C]`` in, uint8 out."""
     y = disturb(x.astype(jnp.float32) / 255.0, key, params, semantics)

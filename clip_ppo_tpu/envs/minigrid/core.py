@@ -375,6 +375,28 @@ def observe(params: EnvParams, state: EnvState) -> jax.Array:
     return view.astype(jnp.uint8)
 
 
+def describe_rollout(
+    grids: np.ndarray, agent_pos: np.ndarray, agent_dir: np.ndarray
+) -> list[str]:
+    """Descriptions for a whole rollout, flattened t-major to match the
+    training batch layout ([T, N] → index t·N + n).
+
+    ``grids`` is one [N, W, H, 3] snapshot (not per-step): the description's
+    object list is the first 3 non-empty cells in x-major scan order, which
+    on any bordered MiniGrid grid are the static border walls at
+    (0,0),(0,1),(0,2) — so any snapshot of the same episode yields the
+    identical list the reference computes per step
+    (`clip_ppo_minigrid.py:164-211`).
+    """
+    t, n = agent_dir.shape
+    grids = np.tile(np.asarray(grids), (t, 1, 1, 1))
+    return describe_states(
+        grids,
+        np.asarray(agent_pos).reshape(t * n, 2),
+        np.asarray(agent_dir).reshape(t * n),
+    )
+
+
 def describe_states(
     grids: np.ndarray, agent_pos: np.ndarray, agent_dir: np.ndarray, max_objects: int = 3
 ) -> list[str]:

@@ -177,6 +177,15 @@ class JaxVectorEnv:
     def close(self):
         self._host_state = None
 
+    def rollout_desc(self, state: VecState) -> dict:
+        """Small per-step state snapshot the rollout scan records for
+        host-side text descriptions (MiniGrid descriptions are per-step,
+        `clip_ppo_minigrid.py:393-403`)."""
+        return {
+            "agent_pos": state.env.agent_pos,
+            "agent_dir": state.env.agent_dir,
+        }
+
     # -- symbolic descriptions (host) ----------------------------------------
 
     def describe(self, state: VecState | None = None) -> list[str]:

@@ -39,9 +39,9 @@ class RolloutBatch(NamedTuple):
     done_mask: jax.Array        # bool [T, N]
     episode_return: jax.Array   # f32 [T, N] (value where done_mask)
     episode_length: jax.Array   # i32 [T, N]
-    # state snapshots for symbolic text descriptions (host-side)
-    agent_pos: jax.Array  # i32 [T, N, 2]
-    agent_dir: jax.Array  # i32 [T, N]
+    # per-step state snapshot for host-side text descriptions
+    # (env-defined dict, e.g. MiniGrid agent_pos/agent_dir; may be empty)
+    desc: dict
 
 
 def collect_rollout(
@@ -84,8 +84,7 @@ def collect_rollout(
             done_mask=info["done_mask"],
             episode_return=info["episode_return"],
             episode_length=info["episode_length"],
-            agent_pos=vec_state.env.agent_pos,
-            agent_dir=vec_state.env.agent_dir,
+            desc=env.rollout_desc(vec_state),
         )
         new_done = (term | trunc).astype(jnp.float32)
         return (new_vec_state, new_obs, new_done, key), out

@@ -207,8 +207,7 @@ class Trainer:
             "episode_return": batch.episode_return,
             "episode_length": batch.episode_length,
         }
-        desc_state = {"agent_pos": batch.agent_pos, "agent_dir": batch.agent_dir}
-        return state, flat, episode_stats, desc_state
+        return state, flat, episode_stats, batch.desc
 
     def _update_half(self, state: TrainState, flat: dict, iteration: jax.Array,
                      clip_embeddings: Optional[jax.Array]):

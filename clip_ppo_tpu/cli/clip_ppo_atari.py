@@ -1,0 +1,365 @@
+"""CLIP-PPO on Atari — flag-compatible with the reference
+`atari_experiments/clip_ppo/clip_ppo_atari.py`, rebuilt TPU-native.
+
+Gradient topology matches the reference exactly (SURVEY §7 hard part 4):
+PPO latents are stop-gradient'd (`clip_ppo_atari.py:244-246`); in the
+image modality the per-frame CLIP features are precomputed under
+no-grad as a [B, 4·512] concat (`process_multiframe_clip_embeddings`,
+`:272-299`) and pushed through the trainable ``temporal_projection``
+*inside* the minibatch loss (`:726-731`), so the CLIP-alignment gradient
+flows ONLY into the projection. In the text modality the loss is a pure
+monitor. Per-frame GPU-batch disturbances on the 4-stack use the
+``stack_frames`` semantics (`:568-584`).
+
+TPU-native mechanism notes:
+* the 1024×4-frame CLIP encode is ONE batched ViT pass fused into the
+  jitted iteration (the reference's dominant CLIP cost, SURVEY §3 hot
+  loop c);
+* text descriptions come from true game state with the reference's RAM
+  coordinate semantics, generated once per iteration and tiled across
+  steps exactly like the reference's ``i % num_envs`` cycling
+  (`clip_ppo_atari.py:648`, `:321-322`);
+* ``temporal_projection`` lives inside the agent params pytree, so the
+  reference's ``extra_models={'temporal_projection'}`` checkpoint payload
+  (`:542-550,782-786`) is carried by ``agent_state`` with identical
+  restore behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_ppo_tpu.envs import AtariVectorEnv
+from clip_ppo_tpu.io import (
+    SummaryWriter,
+    hyperparameters_table,
+    load_checkpoint,
+    save_checkpoint,
+)
+from clip_ppo_tpu.models import clip_utils, init_agent_params
+from clip_ppo_tpu.models.agent import AblationMode, cnn_features
+from clip_ppo_tpu.models.clip import model as clip_model_mod
+from clip_ppo_tpu.models.clip.tokenizer import tokenize
+from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
+from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.utils import flags
+
+
+@dataclass
+class AtariClipPPOConfig(clip_utils.ClipPPOConfig):
+    """Atari-specific CLIP-PPO defaults (`clip_ppo_atari.py:46-62`)."""
+
+    clip_lambda: float = 0.00001
+    """coefficient for CLIP alignment loss"""
+    clip_modality: str = "image"
+    """CLIP modality to use for alignment (image better for Atari visual scenes)"""
+    ablation_mode: AblationMode = AblationMode.NONE
+    """ablation mode for controlled experiments"""
+    apply_disturbances: bool = False
+    """whether to apply visual disturbances during training"""
+    disturbance_severity: str = "MODERATE"
+    """disturbance severity level: MILD, MODERATE, HARD, SEVERE"""
+
+
+@dataclass
+class Args:
+    exp_name: str = "clip_ppo_atari"
+    """the name of this experiment"""
+    seed: int = 1
+    """seed of the experiment"""
+    torch_deterministic: bool = True
+    """accepted for flag parity; JAX is deterministic by construction"""
+    cuda: bool = True
+    """accepted for flag parity; device selection is JAX's platform"""
+    track: bool = False
+    """if toggled, this experiment will be tracked with Weights and Biases"""
+    wandb_project_name: str = "cleanRL"
+    """the wandb's project name"""
+    wandb_entity: Optional[str] = None
+    """the entity (team) of wandb's project"""
+    capture_video: bool = True
+    """whether to capture videos of the agent performances"""
+    verbose: bool = True
+    """enable verbose debug output for losses"""
+
+    # Algorithm specific arguments
+    env_id: str = "BreakoutNoFrameskip-v4"
+    """the id of the environment"""
+    total_timesteps: int = 100000
+    """total timesteps of the experiments"""
+    learning_rate: float = 2.5e-4
+    """the learning rate of the optimizer"""
+    num_envs: int = 8
+    """the number of parallel game environments"""
+    num_steps: int = 128
+    """the number of steps to run in each environment per policy rollout"""
+    anneal_lr: bool = True
+    """Toggle learning rate annealing for policy and value networks"""
+    gamma: float = 0.99
+    """the discount factor gamma"""
+    gae_lambda: float = 0.95
+    """the lambda for the general advantage estimation"""
+    num_minibatches: int = 4
+    """the number of mini-batches"""
+    update_epochs: int = 4
+    """the K epochs to update the policy"""
+    norm_adv: bool = True
+    """Toggles advantages normalization"""
+    clip_coef: float = 0.1
+    """the surrogate clipping coefficient"""
+    clip_vloss: bool = True
+    """Toggles whether or not to use a clipped loss for the value function"""
+    ent_coef: float = 0.01
+    """coefficient of the entropy"""
+    vf_coef: float = 0.5
+    """coefficient of the value function"""
+    max_grad_norm: float = 0.5
+    """the maximum norm for the gradient clipping"""
+    target_kl: Optional[float] = None
+    """the target KL divergence threshold"""
+
+    # CLIP-PPO configuration
+    clip_config: AtariClipPPOConfig = field(default_factory=AtariClipPPOConfig)
+    """Atari-specific CLIP-PPO configuration"""
+
+    # Run naming arguments
+    run_name: Optional[str] = None
+    """custom run name (if empty, uses default format)"""
+
+    # Model saving arguments
+    save_model: bool = True
+    """whether to save model checkpoints"""
+    save_freq: int = 100000
+    """save model every N timesteps"""
+    model_path: str = "checkpoints"
+    """directory to save model checkpoints"""
+    resume_checkpoint: str = ""
+    """path to checkpoint file to resume training from"""
+
+    # to be filled in runtime
+    batch_size: int = 0
+    """the batch size (computed in runtime)"""
+    minibatch_size: int = 0
+    """the mini-batch size (computed in runtime)"""
+    num_iterations: int = 0
+    """the number of iterations (computed in runtime)"""
+
+
+def train(args: Args, run_name: Optional[str] = None) -> dict:
+    """Run CLIP-PPO Atari training; returns summary stats."""
+    args.batch_size = int(args.num_envs * args.num_steps)
+    args.minibatch_size = int(args.batch_size // args.num_minibatches)
+    args.num_iterations = args.total_timesteps // args.batch_size
+    cc = args.clip_config
+    run_name = (
+        run_name
+        or args.run_name
+        or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
+    )
+
+    writer = SummaryWriter(f"runs/{run_name}")
+    writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
+    writer.add_text(
+        "config/disturbance_severity",
+        cc.disturbance_severity if cc.apply_disturbances else "CLEAN",
+    )
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    env = AtariVectorEnv(args.env_id, args.num_envs)
+
+    compute_clip = clip_utils.should_compute_clip_loss(cc.ablation_mode, cc.clip_lambda)
+    clip_params, clip_cfg = (None, None)
+    if compute_clip or cc.ablation_mode == AblationMode.FROZEN_CLIP:
+        clip_params, clip_cfg = clip_utils.load_clip_model(cc.clip_model)
+
+    # temporal_projection exists when frozen-CLIP is the trunk or the image
+    # modality projects concat embeddings (`clip_ppo_atari.py:183-187`).
+    image_modality = compute_clip and cc.clip_modality == "image"
+    needs_projection = image_modality or cc.ablation_mode == AblationMode.FROZEN_CLIP
+
+    if cc.ablation_mode == AblationMode.FROZEN_CLIP:
+        features_fn = clip_utils.make_frozen_clip_stack_features_fn(clip_params, clip_cfg)
+    else:
+        features_fn = cnn_features
+
+    disturbance = None
+    if cc.apply_disturbances:
+        disturbance = resolve_params(DisturbanceSeverity[cc.disturbance_severity])
+        print(f"Disturbances enabled with severity: {cc.disturbance_severity}")
+    else:
+        print("Disturbances disabled")
+
+    cfg = PPOConfig(
+        learning_rate=args.learning_rate,
+        num_envs=args.num_envs,
+        num_steps=args.num_steps,
+        anneal_lr=args.anneal_lr,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
+        norm_adv=args.norm_adv,
+        clip_coef=args.clip_coef,
+        clip_vloss=args.clip_vloss,
+        ent_coef=args.ent_coef,
+        vf_coef=args.vf_coef,
+        max_grad_norm=args.max_grad_norm,
+        target_kl=args.target_kl,
+        clip_mode=(
+            "projected" if image_modality else ("precomputed" if compute_clip else "none")
+        ),
+    )
+
+    embed_images_fn = None
+    if image_modality and cc.ablation_mode != AblationMode.RANDOM_ENCODER:
+        # Fused per-iteration multi-frame CLIP encode, [B,H,W,4] → [B, 4·512]
+        # with per-512-chunk L2 norm (`generate_clip_embeddings` normalizes
+        # per frame before concat, `clip_ppo_atari.py:272-299`).
+        def embed_images_fn(obs):
+            b = obs.shape[0]
+            emb = clip_utils.multiframe_clip_embeddings(clip_params, clip_cfg, obs)
+            per_frame = emb.reshape(b, 4, -1)
+            per_frame = clip_utils.l2_normalize(per_frame)
+            return per_frame.reshape(b, -1)
+
+    trainer = Trainer(
+        cfg,
+        env,
+        num_iterations=args.num_iterations,
+        disturbance=disturbance,
+        disturbance_semantics="stack_frames",
+        features_fn=features_fn,
+        embed_images_fn=embed_images_fn,
+        clip_lambda=cc.clip_lambda,
+    )
+    params = init_agent_params(
+        jax.random.PRNGKey(args.seed),
+        env.num_actions,
+        in_channels=4,
+        with_temporal_projection=needs_projection,
+    )
+    state = trainer.init_state(params, args.seed)
+
+    encode_tokens = None
+    if compute_clip and cc.clip_modality == "text":
+        encode_tokens = jax.jit(
+            lambda toks: clip_utils.l2_normalize(
+                clip_model_mod.encode_text(clip_params, clip_cfg, toks)
+            )
+        )
+
+    checkpoint_path = None
+    if args.save_model:
+        os.makedirs(args.model_path, exist_ok=True)
+        checkpoint_path = os.path.join(args.model_path, run_name)
+
+    start_iteration = 1
+    global_step = 0
+    if args.resume_checkpoint:
+        params, opt_state, it, global_step, _ = load_checkpoint(
+            args.resume_checkpoint, state.params, state.opt_state
+        )
+        state = dataclasses.replace(state, params=params, opt_state=opt_state)
+        start_iteration = it + 1
+
+    rand_key = jax.random.PRNGKey(args.seed + 1)
+    start_time = time.time()
+    last_returns: list[float] = []
+
+    use_split_path = compute_clip and embed_images_fn is None
+    for iteration in range(start_iteration, args.num_iterations + 1):
+        if use_split_path:
+            state, flat, episode_stats, _desc = trainer.run_rollout_half(state)
+            if cc.ablation_mode == AblationMode.RANDOM_ENCODER:
+                rand_key, k = jax.random.split(rand_key)
+                if cc.clip_modality == "image":
+                    # random per-frame embeddings, concat to [B, 4·512]
+                    # (`process_multiframe_clip_embeddings` with RANDOM mode)
+                    emb = clip_utils.generate_clip_embeddings(
+                        AblationMode.RANDOM_ENCODER, None, None, "image",
+                        args.batch_size * 4, key=k,
+                    )
+                    clip_embeddings = emb.reshape(args.batch_size, -1)
+                else:
+                    clip_embeddings = clip_utils.generate_clip_embeddings(
+                        AblationMode.RANDOM_ENCODER, None, None, "text",
+                        args.batch_size, key=k,
+                    )
+            else:  # text modality from live game state, tiled across steps
+                descs = env.describe(state.vec_state)
+                descriptions = descs * args.num_steps  # index t·N+n → env n
+                clip_embeddings = encode_tokens(jnp.asarray(tokenize(descriptions)))
+            state, scalars = trainer.run_update_half(
+                state, flat, iteration, clip_embeddings
+            )
+        else:
+            state, scalars, episode_stats = trainer.run_iteration(state, iteration)
+
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
+        if compute_clip and args.verbose and iteration % 10 == 1:
+            lam = float(trainer.clip_lambda_eff(jnp.int32(iteration)))
+            print(
+                f"  [CLIP] iter {iteration}: clip_loss="
+                f"{float(scalars['clip_loss']):.6f} lambda_eff={lam:.2e}"
+            )
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+        if args.save_model and global_step % args.save_freq == 0:
+            save_checkpoint(
+                checkpoint_path, state.params, state.opt_state,
+                iteration, global_step, args,
+            )
+
+    if args.save_model:
+        save_checkpoint(
+            checkpoint_path, state.params, state.opt_state,
+            args.num_iterations, global_step, args, final=True,
+        )
+
+    env.close()
+    writer.close()
+    return {
+        "global_step": global_step,
+        "sps": global_step / (time.time() - start_time),
+        "recent_returns": last_returns[-100:],
+        "run_name": run_name,
+    }
+
+
+def main() -> None:
+    train(flags.parse(Args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Vanilla PPO on Atari — flag-compatible with the reference
+`atari_experiments/ppo/ppo_atari.py`, rebuilt TPU-native.
+
+The reference drives the host-side ALE C++ emulator through an 8-wrapper
+stack and syncs host↔device every step; here the games are pure-JAX
+(`clip_ppo_tpu.envs.atari`) so the whole iteration — rollout with the
+4-frame stack, GAE, and the 4×4 minibatch update — is one XLA program.
+Like the reference script: no disturbances, no checkpointing
+(`ppo_atari.py` has neither), same hyperparameters, same TB tag set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from clip_ppo_tpu.envs import AtariVectorEnv
+from clip_ppo_tpu.io import SummaryWriter, hyperparameters_table
+from clip_ppo_tpu.models import init_agent_params
+from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.utils import flags
+
+
+@dataclass
+class Args:
+    exp_name: str = "ppo_atari"
+    """the name of this experiment"""
+    seed: int = 1
+    """seed of the experiment"""
+    torch_deterministic: bool = True
+    """accepted for flag parity; JAX is deterministic by construction"""
+    cuda: bool = False
+    """accepted for flag parity (the reference defaults Atari to CPU)"""
+    track: bool = False
+    """if toggled, this experiment will be tracked with Weights and Biases"""
+    wandb_project_name: str = "cleanRL"
+    """the wandb's project name"""
+    wandb_entity: Optional[str] = None
+    """the entity (team) of wandb's project"""
+    capture_video: bool = True
+    """whether to capture videos of the agent performances"""
+
+    # Algorithm specific arguments
+    env_id: str = "BreakoutNoFrameskip-v4"
+    """the id of the environment"""
+    total_timesteps: int = 100000
+    """total timesteps of the experiments"""
+    learning_rate: float = 2.5e-4
+    """the learning rate of the optimizer"""
+    num_envs: int = 8
+    """the number of parallel game environments"""
+    num_steps: int = 128
+    """the number of steps to run in each environment per policy rollout"""
+    anneal_lr: bool = True
+    """Toggle learning rate annealing for policy and value networks"""
+    gamma: float = 0.99
+    """the discount factor gamma"""
+    gae_lambda: float = 0.95
+    """the lambda for the general advantage estimation"""
+    num_minibatches: int = 4
+    """the number of mini-batches"""
+    update_epochs: int = 4
+    """the K epochs to update the policy"""
+    norm_adv: bool = True
+    """Toggles advantages normalization"""
+    clip_coef: float = 0.1
+    """the surrogate clipping coefficient"""
+    clip_vloss: bool = True
+    """Toggles whether or not to use a clipped loss for the value function"""
+    ent_coef: float = 0.01
+    """coefficient of the entropy"""
+    vf_coef: float = 0.5
+    """coefficient of the value function"""
+    max_grad_norm: float = 0.5
+    """the maximum norm for the gradient clipping"""
+    target_kl: Optional[float] = None
+    """the target KL divergence threshold"""
+
+    # to be filled in runtime
+    batch_size: int = 0
+    """the batch size (computed in runtime)"""
+    minibatch_size: int = 0
+    """the mini-batch size (computed in runtime)"""
+    num_iterations: int = 0
+    """the number of iterations (computed in runtime)"""
+
+
+def train(args: Args, run_name: Optional[str] = None) -> dict:
+    """Run training; returns summary stats (for tests/benchmarks)."""
+    args.batch_size = int(args.num_envs * args.num_steps)
+    args.minibatch_size = int(args.batch_size // args.num_minibatches)
+    args.num_iterations = args.total_timesteps // args.batch_size
+    run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
+
+    writer = SummaryWriter(f"runs/{run_name}")
+    writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    env = AtariVectorEnv(args.env_id, args.num_envs)
+    cfg = PPOConfig(
+        learning_rate=args.learning_rate,
+        num_envs=args.num_envs,
+        num_steps=args.num_steps,
+        anneal_lr=args.anneal_lr,
+        gamma=args.gamma,
+        gae_lambda=args.gae_lambda,
+        num_minibatches=args.num_minibatches,
+        update_epochs=args.update_epochs,
+        norm_adv=args.norm_adv,
+        clip_coef=args.clip_coef,
+        clip_vloss=args.clip_vloss,
+        ent_coef=args.ent_coef,
+        vf_coef=args.vf_coef,
+        max_grad_norm=args.max_grad_norm,
+        target_kl=args.target_kl,
+    )
+    trainer = Trainer(cfg, env, num_iterations=args.num_iterations)
+    params = init_agent_params(
+        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=4
+    )
+    state = trainer.init_state(params, args.seed)
+
+    global_step = 0
+    start_time = time.time()
+    last_returns: list[float] = []
+
+    for iteration in range(1, args.num_iterations + 1):
+        state, scalars, episode_stats = trainer.run_iteration(state, iteration)
+
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            print(f"global_step={step_at}, episodic_return={r}")
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+    env.close()
+    writer.close()
+    return {
+        "global_step": global_step,
+        "sps": global_step / (time.time() - start_time),
+        "recent_returns": last_returns[-100:],
+        "run_name": run_name,
+    }
+
+
+def main() -> None:
+    train(flags.parse(Args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""CLIP encoder throughput: frames/sec/chip (and text sequences/sec).
+
+The per-iteration batched CLIP encode is the dominant CLIP cost in
+CLIP-PPO training (SURVEY §3 hot loop c), and frames/sec/chip is a
+first-class metric of the rebuild (BASELINE.md targets). This benchmark
+times the image tower (fused preprocessing included — /255, antialiased
+224 resize, normalization, exactly the training path) and the text tower
+at growing batch sizes, bf16 on the MXU, properly fenced.
+
+Usage:
+    python -m clip_ppo_tpu.cli.benchmark_clip                 # ViT-B/32
+    python -m clip_ppo_tpu.cli.benchmark_clip --model ViT-L/14 --batch-sizes 256
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from clip_ppo_tpu.models.clip import CLIP_CONFIGS
+from clip_ppo_tpu.models.clip.loader import load_clip_model
+from clip_ppo_tpu.models.clip.model import encode_image, encode_text
+from clip_ppo_tpu.ops.resize import preprocess_for_clip
+from clip_ppo_tpu.utils import flags
+
+
+@dataclass
+class ClipBenchArgs:
+    model: str = "ViT-B/32"
+    """CLIP variant: ViT-B/32, ViT-B/16, ViT-L/14"""
+    batch_sizes: tuple[int, ...] = (64, 256, 1024, 4096)
+    """image batch sizes to sweep"""
+    text_batch: int = 1024
+    """text batch size ([B, 77] tokens)"""
+    iterations: int = 10
+    """timed iterations"""
+    source_size: int = 84
+    """input frame size before the fused resize (the rollout frame size)"""
+    dtype: str = "bfloat16"
+    """compute dtype: bfloat16 | float32"""
+    seed: int = 0
+    """PRNG seed"""
+
+
+def _bench(fn, args_tuple, iterations: int) -> float:
+    out = fn(*args_tuple)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iterations):
+        out = fn(*args_tuple)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iterations
+
+
+def main() -> None:
+    args = flags.parse(ClipBenchArgs)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = CLIP_CONFIGS[args.model]
+    params, cfg = load_clip_model(args.model, pretrained="auto")
+    dev = jax.devices()[0]
+    print(f"model={args.model} dtype={args.dtype} device={dev.platform} "
+          f"({dev.device_kind if hasattr(dev, 'device_kind') else '?'})")
+
+    @partial(jax.jit, static_argnums=())
+    def image_fwd(p, frames):
+        x = preprocess_for_clip(
+            frames.astype(jnp.float32) / 255.0, cfg.image_size
+        )
+        return encode_image(p, cfg, x, dtype)
+
+    key = jax.random.PRNGKey(args.seed)
+    print(f"{'batch':>6} {'ms/batch':>10} {'frames/s/chip':>14}")
+    for b in args.batch_sizes:
+        frames = jax.random.randint(
+            key, (b, args.source_size, args.source_size, 3), 0, 255, jnp.uint8
+        )
+        encoded = jax.jit(image_fwd)
+        t = _bench(encoded, (params, frames), args.iterations)
+        print(f"{b:>6} {t * 1e3:>10.2f} {b / t:>14.0f}")
+
+    @jax.jit
+    def text_fwd(p, toks):
+        return encode_text(p, cfg, toks, dtype)
+
+    toks = jax.random.randint(
+        key, (args.text_batch, cfg.context_length), 1, cfg.vocab_size - 2,
+        jnp.int32,
+    )
+    toks = toks.at[:, 0].set(cfg.vocab_size - 2).at[:, -1].set(cfg.vocab_size - 1)
+    t = _bench(text_fwd, (params, toks), args.iterations)
+    print(f"text  batch={args.text_batch}: {t * 1e3:.2f} ms/batch "
+          f"({args.text_batch / t:.0f} seqs/s/chip)")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,9 @@ import numpy as np
 
 from clip_ppo_tpu.envs import AtariVectorEnv
 from clip_ppo_tpu.io import (
+    ProfilerWindow,
+    VideoRecorder,
+    maybe_init_wandb,
     SummaryWriter,
     hyperparameters_table,
     load_checkpoint,
@@ -89,6 +92,8 @@ class Args:
     """the entity (team) of wandb's project"""
     capture_video: bool = True
     """whether to capture videos of the agent performances"""
+    profile_dir: Optional[str] = None
+    """capture a jax.profiler trace of steady-state iterations to this dir"""
     verbose: bool = True
     """enable verbose debug output for losses"""
 
@@ -167,7 +172,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     )
 
+    maybe_init_wandb(args, run_name)
     writer = SummaryWriter(f"runs/{run_name}")
+    recorder = (
+        VideoRecorder(f"videos/atari/{run_name}") if args.capture_video else None
+    )
+    profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
     writer.add_text(
         "config/disturbance_severity",
@@ -243,6 +253,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         features_fn=features_fn,
         embed_images_fn=embed_images_fn,
         clip_lambda=cc.clip_lambda,
+        capture_env0=args.capture_video,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed),
@@ -307,6 +318,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         else:
             state, scalars, episode_stats = trainer.run_iteration(state, iteration)
 
+        profiler.step(iteration)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
         done_mask = np.asarray(episode_stats["done_mask"])
         ep_ret = np.asarray(episode_stats["episode_return"])
         ep_len = np.asarray(episode_stats["episode_length"])
@@ -347,6 +364,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             args.num_iterations, global_step, args, final=True,
         )
 
+    profiler.close()
+    if recorder is not None:
+        recorder.close()
     env.close()
     writer.close()
     return {

@@ -41,6 +41,9 @@ import numpy as np
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.envs.minigrid import core as minigrid_core
 from clip_ppo_tpu.io import (
+    ProfilerWindow,
+    VideoRecorder,
+    maybe_init_wandb,
     SummaryWriter,
     hyperparameters_table,
     load_checkpoint,
@@ -91,6 +94,8 @@ class Args:
     """the entity (team) of wandb's project"""
     capture_video: bool = True
     """whether to capture videos of the agent performances"""
+    profile_dir: Optional[str] = None
+    """capture a jax.profiler trace of steady-state iterations to this dir"""
     verbose: bool = True
     """enable verbose debug output for losses"""
 
@@ -169,7 +174,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     )
 
+    maybe_init_wandb(args, run_name)
     writer = SummaryWriter(f"runs/{run_name}")
+    recorder = (
+        VideoRecorder(f"videos/minigrid/clip_ppo/{run_name}") if args.capture_video else None
+    )
+    profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
     # Machine-read severity tag (`clip_ppo_minigrid.py:301-304`,
     # consumed by metrics/calculate_metrics.py:57-87).
@@ -241,6 +251,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         features_fn=features_fn,
         embed_images_fn=embed_images_fn,
         clip_lambda=cc.clip_lambda,
+        capture_env0=args.capture_video,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
@@ -297,6 +308,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         else:
             state, scalars, episode_stats = trainer.run_iteration(state, iteration)
 
+        profiler.step(iteration)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
         done_mask = np.asarray(episode_stats["done_mask"])
         ep_ret = np.asarray(episode_stats["episode_return"])
         ep_len = np.asarray(episode_stats["episode_length"])
@@ -339,6 +356,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             args.num_iterations, global_step, args, final=True,
         )
 
+    profiler.close()
+    if recorder is not None:
+        recorder.close()
     env.close()
     writer.close()
     return {

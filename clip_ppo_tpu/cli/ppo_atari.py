@@ -21,7 +21,13 @@ import jax
 import numpy as np
 
 from clip_ppo_tpu.envs import AtariVectorEnv
-from clip_ppo_tpu.io import SummaryWriter, hyperparameters_table
+from clip_ppo_tpu.io import (
+    ProfilerWindow,
+    SummaryWriter,
+    VideoRecorder,
+    hyperparameters_table,
+    maybe_init_wandb,
+)
 from clip_ppo_tpu.models import init_agent_params
 from clip_ppo_tpu.train import PPOConfig, Trainer
 from clip_ppo_tpu.utils import flags
@@ -45,6 +51,8 @@ class Args:
     """the entity (team) of wandb's project"""
     capture_video: bool = True
     """whether to capture videos of the agent performances"""
+    profile_dir: Optional[str] = None
+    """capture a jax.profiler trace of steady-state iterations to this dir"""
 
     # Algorithm specific arguments
     env_id: str = "BreakoutNoFrameskip-v4"
@@ -98,7 +106,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     args.num_iterations = args.total_timesteps // args.batch_size
     run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
 
+    maybe_init_wandb(args, run_name)
     writer = SummaryWriter(f"runs/{run_name}")
+    recorder = (
+        VideoRecorder(f"videos/atari/{run_name}") if args.capture_video else None
+    )
+    profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
 
     random.seed(args.seed)
@@ -122,7 +135,10 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         max_grad_norm=args.max_grad_norm,
         target_kl=args.target_kl,
     )
-    trainer = Trainer(cfg, env, num_iterations=args.num_iterations)
+    trainer = Trainer(
+        cfg, env, num_iterations=args.num_iterations,
+        capture_env0=args.capture_video,
+    )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=4
     )
@@ -135,6 +151,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     for iteration in range(1, args.num_iterations + 1):
         state, scalars, episode_stats = trainer.run_iteration(state, iteration)
 
+        profiler.step(iteration)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
         done_mask = np.asarray(episode_stats["done_mask"])
         ep_ret = np.asarray(episode_stats["episode_return"])
         ep_len = np.asarray(episode_stats["episode_length"])
@@ -157,6 +179,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
         writer.add_scalar("charts/SPS", sps, global_step)
 
+    profiler.close()
+    if recorder is not None:
+        recorder.close()
     env.close()
     writer.close()
     return {

@@ -25,6 +25,9 @@ import numpy as np
 
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.io import (
+    ProfilerWindow,
+    VideoRecorder,
+    maybe_init_wandb,
     SummaryWriter,
     hyperparameters_table,
     load_checkpoint,
@@ -54,6 +57,8 @@ class Args:
     """the entity (team) of wandb's project"""
     capture_video: bool = True
     """whether to capture videos of the agent performances"""
+    profile_dir: Optional[str] = None
+    """capture a jax.profiler trace of steady-state iterations to this dir"""
 
     # Algorithm specific arguments
     env_id: str = "MiniGrid-Empty-16x16-v0"
@@ -121,7 +126,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     args.num_iterations = args.total_timesteps // args.batch_size
     run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
 
+    maybe_init_wandb(args, run_name)
     writer = SummaryWriter(f"runs/{run_name}")
+    recorder = (
+        VideoRecorder(f"videos/minigrid/ppo/{run_name}") if args.capture_video else None
+    )
+    profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
 
     random.seed(args.seed)
@@ -161,6 +171,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         num_iterations=args.num_iterations,
         disturbance=disturbance,
         disturbance_semantics="per_image",
+        capture_env0=args.capture_video,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
@@ -181,6 +192,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         state, scalars, episode_stats = trainer.run_iteration(state, iteration)
 
         # Host-side logging (the only device→host traffic per iteration).
+        profiler.step(iteration)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
         done_mask = np.asarray(episode_stats["done_mask"])
         ep_ret = np.asarray(episode_stats["episode_return"])
         ep_len = np.asarray(episode_stats["episode_length"])
@@ -214,6 +231,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             args.num_iterations, global_step, args, final=True,
         )
 
+    profiler.close()
+    if recorder is not None:
+        recorder.close()
     env.close()
     writer.close()
     return {

@@ -166,6 +166,12 @@ class AtariVectorEnv:
     def close(self):
         self._host_state = None
 
+    def render_env0(self, state: AtariVecState) -> jax.Array:
+        """RGB render of env 0 for video capture: the newest stacked frame
+        broadcast to RGB ([84, 84, 3] uint8)."""
+        frame = state.frames[0, :, :, -1:]
+        return jnp.broadcast_to(frame, frame.shape[:2] + (3,))
+
     def rollout_desc(self, state: AtariVecState) -> dict:
         """Atari descriptions are generated once per iteration from the
         current state (`clip_ppo_atari.py:648` cycles the live envs), so

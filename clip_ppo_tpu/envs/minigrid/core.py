@@ -375,6 +375,81 @@ def observe(params: EnvParams, state: EnvState) -> jax.Array:
     return view.astype(jnp.uint8)
 
 
+# RGB palette matching MiniGrid's COLORS map (minigrid rendering).
+_COLOR_RGB = np.array(
+    [
+        [255, 0, 0],     # red
+        [0, 255, 0],     # green
+        [0, 0, 255],     # blue
+        [112, 39, 195],  # purple
+        [255, 255, 0],   # yellow
+        [100, 100, 100], # grey
+    ],
+    dtype=np.uint8,
+)
+
+
+@partial(jax.jit, static_argnames=("params", "tile_px"))
+def render_rgb(params: EnvParams, state: EnvState, tile_px: int = 6) -> jax.Array:
+    """Top-down RGB render of the full grid (`gym.make(render_mode=
+    "rgb_array")` equivalent the reference records videos from,
+    `ppo_minigrid.py:109,115`): colored tiles per object, grid lines, and
+    a red directional agent marker. Pure JAX → can run in-graph so video
+    capture costs one small D2H copy per iteration."""
+    w, h = params.width, params.height
+    W, H = w * tile_px, h * tile_px
+    px = jnp.arange(W).reshape(1, W)   # image x (grid x)
+    py = jnp.arange(H).reshape(H, 1)   # image y (grid y)
+    cx = px // tile_px                 # grid cell x per pixel column
+    cy = py // tile_px                 # grid cell y per pixel row
+    ix = px % tile_px
+    iy = py % tile_px
+
+    # Per-pixel cell lookup: grid is [W, H, 3] with axis0 = x; index
+    # broadcasting of [1,W] × [H,1] yields [H,W] image-layout arrays.
+    obj = state.grid[..., 0][cx, cy]    # [H?, W?] — broadcasting of [1,W],[H,1] → [H,W]
+    col = state.grid[..., 1][cx, cy]
+    st = state.grid[..., 2][cx, cy]
+
+    colors = jnp.asarray(_COLOR_RGB)
+    base = colors[jnp.clip(col, 0, 5)]               # [H, W, 3]
+    black = jnp.zeros(3, jnp.uint8)
+    green = colors[GREEN]
+
+    img = jnp.where((obj == WALL)[..., None], base, black)
+    img = jnp.where((obj == GOAL)[..., None], green, img)
+    img = jnp.where((obj == LAVA)[..., None], jnp.asarray([255, 128, 0], jnp.uint8), img)
+    # Inset objects (key/ball/box): colored square with a 1px black margin.
+    inset = (ix >= 1) & (ix < tile_px - 1) & (iy >= 1) & (iy < tile_px - 1)
+    small = (obj == KEY) | (obj == BALL) | (obj == BOX)
+    img = jnp.where((small & inset)[..., None], base, img)
+    # Doors: open → frame only; closed/locked → filled.
+    door = obj == DOOR
+    frame_px = (ix == 0) | (ix == tile_px - 1) | (iy == 0) | (iy == tile_px - 1)
+    img = jnp.where((door & (st != OPEN))[..., None], base, img)
+    img = jnp.where((door & (st == OPEN) & frame_px)[..., None], base, img)
+
+    # Agent: red triangle pointing along agent_dir.
+    on_agent = (cx == state.agent_pos[0]) & (cy == state.agent_pos[1])
+    t = tile_px
+    tri_right = ix >= jnp.abs(2 * iy - (t - 1))
+    tri_left = (t - 1 - ix) >= jnp.abs(2 * iy - (t - 1))
+    tri_down = iy >= jnp.abs(2 * ix - (t - 1))
+    tri_up = (t - 1 - iy) >= jnp.abs(2 * ix - (t - 1))
+    tri = jnp.select(
+        [state.agent_dir == 0, state.agent_dir == 1,
+         state.agent_dir == 2, state.agent_dir == 3],
+        [tri_right, tri_down, tri_left, tri_up],
+    )
+    img = jnp.where((on_agent & tri)[..., None], colors[RED], img)
+
+    # Grid lines.
+    line = (ix == 0) | (iy == 0)
+    img = jnp.where((line & (obj == EMPTY))[..., None],
+                    jnp.asarray([40, 40, 40], jnp.uint8), img)
+    return img.astype(jnp.uint8)
+
+
 def describe_rollout(
     grids: np.ndarray, agent_pos: np.ndarray, agent_dir: np.ndarray
 ) -> list[str]:

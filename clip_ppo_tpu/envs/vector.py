@@ -177,6 +177,11 @@ class JaxVectorEnv:
     def close(self):
         self._host_state = None
 
+    def render_env0(self, state: VecState) -> jax.Array:
+        """RGB render of env 0 for video capture ([H, W, 3] uint8)."""
+        env0 = jax.tree_util.tree_map(lambda x: x[0], state.env)
+        return minigrid_core.render_rgb(self.params, env0)
+
     def rollout_desc(self, state: VecState) -> dict:
         """Small per-step state snapshot the rollout scan records for
         host-side text descriptions (MiniGrid descriptions are per-step,

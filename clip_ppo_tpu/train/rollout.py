@@ -42,6 +42,9 @@ class RolloutBatch(NamedTuple):
     # per-step state snapshot for host-side text descriptions
     # (env-defined dict, e.g. MiniGrid agent_pos/agent_dir; may be empty)
     desc: dict
+    # env-0 RGB render per step for video capture (None when disabled —
+    # None is an empty pytree node, so the scan carries no extra data)
+    video: Any
 
 
 def collect_rollout(
@@ -55,6 +58,7 @@ def collect_rollout(
     disturbance: Optional[DisturbanceParams] = None,
     disturbance_semantics: str = "batched",
     features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
+    capture_video: bool = False,
 ):
     """Scan ``num_steps`` env steps. Returns (vec_state, obs, next_done,
     key, RolloutBatch)."""
@@ -85,6 +89,7 @@ def collect_rollout(
             episode_return=info["episode_return"],
             episode_length=info["episode_length"],
             desc=env.rollout_desc(vec_state),
+            video=env.render_env0(vec_state) if capture_video else None,
         )
         new_done = (term | trunc).astype(jnp.float32)
         return (new_vec_state, new_obs, new_done, key), out

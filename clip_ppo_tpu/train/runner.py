@@ -66,6 +66,7 @@ class Trainer:
         embed_images_fn: Optional[Callable] = None,
         clip_lambda: float = 0.0,
         clip_warmup_fraction: float = 0.2,
+        capture_env0: bool = False,
     ):
         self.cfg = cfg
         self.env = env
@@ -76,6 +77,9 @@ class Trainer:
         self.embed_images_fn = embed_images_fn
         self.clip_lambda = clip_lambda
         self.clip_warmup_fraction = clip_warmup_fraction
+        # Surface env 0's rollout frames for video capture (RecordVideo
+        # equivalent, io/video.py) — one extra D2H copy per iteration.
+        self.capture_env0 = capture_env0
         self.optimizer = ppo_mod.make_optimizer(cfg)
         self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
         self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
@@ -124,6 +128,7 @@ class Trainer:
             self.disturbance,
             self.disturbance_semantics,
             self.features_fn,
+            self.capture_env0,
         )
         state = dataclasses.replace(
             state, vec_state=vec_state, obs=obs, next_done=next_done, key=key
@@ -186,12 +191,19 @@ class Trainer:
         if self.embed_images_fn is not None:
             clip_embeddings = self.embed_images_fn(flat["obs"])
         state, scalars = self._update(state, flat, iteration, clip_embeddings)
-        episode_stats = {
+        episode_stats = self._episode_stats(batch)
+        return state, scalars, episode_stats
+
+    def _episode_stats(self, batch: rollout_mod.RolloutBatch) -> dict:
+        stats = {
             "done_mask": batch.done_mask,
             "episode_return": batch.episode_return,
             "episode_length": batch.episode_length,
         }
-        return state, scalars, episode_stats
+        if self.capture_env0:
+            stats["env0_frames"] = batch.video
+            stats["env0_dones"] = batch.done_mask[:, 0]
+        return stats
 
     def run_iteration(self, state: TrainState, iteration: int):
         """Fused path: the whole iteration is one device program."""
@@ -202,12 +214,7 @@ class Trainer:
     def _rollout_half(self, state: TrainState):
         state, batch = self._rollout(state)
         flat = self._flatten(state, batch)
-        episode_stats = {
-            "done_mask": batch.done_mask,
-            "episode_return": batch.episode_return,
-            "episode_length": batch.episode_length,
-        }
-        return state, flat, episode_stats, batch.desc
+        return state, flat, self._episode_stats(batch), batch.desc
 
     def _update_half(self, state: TrainState, flat: dict, iteration: jax.Array,
                      clip_embeddings: Optional[jax.Array]):

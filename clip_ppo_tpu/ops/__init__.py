@@ -4,7 +4,7 @@ from clip_ppo_tpu.ops.severity import (
     DisturbanceSeverity,
     resolve_params,
 )
-from clip_ppo_tpu.ops.disturbances import disturb, disturb_uint8
+from clip_ppo_tpu.ops.disturbances import disturb, disturb_auto, disturb_uint8
 from clip_ppo_tpu.ops.wrapper import (
     DisturbanceWrapper,
     DisturbanceWrapperGPU,
@@ -20,5 +20,6 @@ __all__ = [
     "create_disturbance_wrapper",
     "resolve_params",
     "disturb",
+    "disturb_auto",
     "disturb_uint8",
 ]

@@ -124,6 +124,8 @@ def apply_gaussian_blur(x: jax.Array, sigma: float, ksize: int) -> jax.Array:
 def _cutout_patch_hw(h: int, w: int, ratio: float) -> tuple[int, int]:
     """Patch height/width from an area ratio (`shared/disturbances.py:130-133`)."""
     patch_area = int(h * w * ratio)
+    if patch_area == 0:
+        return 0, 0  # degenerate ratio → no cutout
     patch_h = int(np.sqrt(patch_area))
     patch_w = patch_area // patch_h
     return patch_h, patch_w
@@ -160,6 +162,24 @@ def apply_cutout_per_image(x: jax.Array, key: jax.Array, ratio: float) -> jax.Ar
 # ---------------------------------------------------------------------------
 # Full pipelines
 # ---------------------------------------------------------------------------
+
+
+def disturb_auto(
+    x: jax.Array,
+    key: jax.Array,
+    params: DisturbanceParams,
+    semantics: Literal["batched", "per_image", "stack_frames"] = "batched",
+) -> jax.Array:
+    """``disturb`` with the fused Pallas kernel on TPU for the batched
+    (trained-path) semantics — one VMEM pass, ~2.2× the XLA pipeline on
+    v5e — falling back to the XLA pipeline elsewhere. The Pallas noise
+    uses the on-core PRNG (same distribution, different stream than
+    jax.random)."""
+    if semantics == "batched" and jax.default_backend() == "tpu":
+        from clip_ppo_tpu.ops.pallas_disturb import disturb_pallas
+
+        return disturb_pallas(x, key, params, interpret=False)
+    return disturb(x, key, params, semantics)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "semantics"))

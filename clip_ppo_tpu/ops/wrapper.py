@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clip_ppo_tpu.ops.disturbances import disturb
+from clip_ppo_tpu.ops.disturbances import disturb, disturb_auto
 from clip_ppo_tpu.ops.severity import (
     DisturbanceParams,
     DisturbanceSeverity,
@@ -89,7 +89,7 @@ class DisturbanceWrapperGPU(_Base):
         x = jnp.asarray(obs, jnp.float32)
         if not channel_last:
             x = jnp.moveaxis(x, 1, -1)  # BCHW → BHWC
-        y = disturb(x, self._next_key(), self.params, self._semantics)
+        y = disturb_auto(x, self._next_key(), self.params, self._semantics)
         if not channel_last:
             y = jnp.moveaxis(y, -1, 1)
         return y
@@ -129,7 +129,7 @@ class DisturbanceWrapperGPU(_Base):
 
     def apply_disturbances_numpy(self, img: np.ndarray) -> np.ndarray:
         x = jnp.asarray(np.asarray(img), jnp.float32)[None] / 255.0
-        y = disturb(x, self._next_key(), self.params, self._semantics)
+        y = disturb_auto(x, self._next_key(), self.params, self._semantics)
         return np.asarray(jnp.clip(y[0], 0.0, 1.0) * 255.0).astype(np.uint8)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from clip_ppo_tpu.models import agent as agent_mod
 from clip_ppo_tpu.ops import DisturbanceParams
-from clip_ppo_tpu.ops.disturbances import disturb
+from clip_ppo_tpu.ops.disturbances import disturb_auto
 
 
 class RolloutBatch(NamedTuple):
@@ -69,7 +69,7 @@ def collect_rollout(
 
         if disturbance is not None:
             x = obs.astype(jnp.float32) / 255.0
-            x = disturb(x, k_dist, disturbance, disturbance_semantics)
+            x = disturb_auto(x, k_dist, disturbance, disturbance_semantics)
             obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
         action, logprob, _, value = agent_mod.get_action_and_value(

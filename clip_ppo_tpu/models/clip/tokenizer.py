@@ -88,7 +88,7 @@ class BPETokenizer:
     then the two special tokens.
     """
 
-    def __init__(self, merges: Sequence[tuple[str, str]]):
+    def __init__(self, merges: Sequence[tuple[str, str]], use_native: bool = True):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         vocab = list(self.byte_encoder.values())
@@ -103,6 +103,36 @@ class BPETokenizer:
         self.sot_token = self.encoder[SOT_TEXT]
         self.eot_token = self.encoder[EOT_TEXT]
         self.vocab_size = len(vocab)
+        # Native C merge loop (clip_ppo_tpu/native): the merge table in id
+        # space, keys sorted for binary search. Falls back to the Python
+        # loop when the toolchain is unavailable (identical semantics).
+        self._native = None
+        self._id_cache: dict[str, np.ndarray] = {
+            SOT_TEXT: np.array([self.sot_token], np.int32),
+            EOT_TEXT: np.array([self.eot_token], np.int32),
+        }
+        self._row_cache: dict[tuple, np.ndarray] = {}
+        if use_native:
+            from clip_ppo_tpu import native
+
+            if native.available():
+                keys = np.array(
+                    [
+                        (np.uint64(self.encoder[a]) << np.uint64(32))
+                        | np.uint64(self.encoder[b])
+                        for a, b in merges
+                    ],
+                    np.uint64,
+                )
+                ranks = np.arange(len(merges), dtype=np.int32)
+                new_ids = np.array(
+                    [self.encoder[a + b] for a, b in merges], np.int32
+                )
+                order = np.argsort(keys)
+                self._native = native
+                self._keys = keys[order]
+                self._ranks = ranks[order]
+                self._new_ids = new_ids[order]
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -140,10 +170,33 @@ class BPETokenizer:
         self.cache[token] = out
         return out
 
+    def _word_syms(self, token: str) -> np.ndarray:
+        chars = [self.byte_encoder[b] for b in token.encode("utf-8")]
+        ids = [self.encoder[c] for c in chars[:-1]]
+        ids.append(self.encoder[chars[-1] + "</w>"])
+        return np.asarray(ids, np.int32)
+
+    def _encode_native(self, words: list[str]) -> list[int]:
+        missing = [t for t in dict.fromkeys(words) if t not in self._id_cache]
+        if missing:
+            encoded = self._native.bpe_encode_batch(
+                [self._word_syms(t) for t in missing],
+                self._keys, self._ranks, self._new_ids,
+            )
+            for t, ids in zip(missing, encoded):
+                self._id_cache[t] = ids
+        out: list[int] = []
+        for t in words:
+            out.extend(int(i) for i in self._id_cache[t])
+        return out
+
     def encode(self, text: str) -> list[int]:
-        bpe_tokens: list[int] = []
         text = _clean(text).lower()
-        for token in re.findall(_PAT, text):
+        words = re.findall(_PAT, text)
+        if self._native is not None:
+            return self._encode_native(words)
+        bpe_tokens: list[int] = []
+        for token in words:
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return bpe_tokens
@@ -163,6 +216,13 @@ class BPETokenizer:
             texts = [texts]
         result = np.zeros((len(texts), context_length), dtype=np.int32)
         for i, text in enumerate(texts):
+            # Row memo: training descriptions are highly repetitive
+            # (templated per-state strings), so whole rows hit the cache.
+            ck = (text, context_length, truncate)
+            row = self._row_cache.get(ck)
+            if row is not None:
+                result[i] = row
+                continue
             tokens = [self.sot_token] + self.encode(text) + [self.eot_token]
             if len(tokens) > context_length:
                 if not truncate:
@@ -173,6 +233,8 @@ class BPETokenizer:
                 tokens = tokens[:context_length]
                 tokens[-1] = self.eot_token
             result[i, : len(tokens)] = tokens
+            if len(self._row_cache) < 200_000:
+                self._row_cache[ck] = result[i].copy()
         return result
 
 

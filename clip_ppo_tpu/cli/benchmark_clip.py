@@ -46,13 +46,29 @@ class ClipBenchArgs:
     """PRNG seed"""
 
 
-def _bench(fn, args_tuple, iterations: int) -> float:
-    out = fn(*args_tuple)
-    jax.block_until_ready(out)  # compile + warmup
+def _bench(fn, params, data, iterations: int) -> float:
+    """Chain ``iterations`` calls inside one jitted scan (each input
+    perturbed by the previous output so nothing hoists), then fetch one
+    dependent scalar — block_until_ready does not reliably synchronize on
+    tunneled TPU devices, so timing must ride a data dependency."""
+
+    @jax.jit
+    def chained(p, d):
+        def body(carry, _):
+            out = fn(p, _perturb(d, carry))
+            return out.reshape(-1)[0].astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iterations)
+        return final
+
+    def _perturb(d, carry):
+        if d.dtype == jnp.uint8:
+            return d + (carry != 0.5).astype(jnp.uint8)
+        return d + (carry != 0.5).astype(d.dtype)
+
+    _ = float(chained(params, data))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iterations):
-        out = fn(*args_tuple)
-    jax.block_until_ready(out)
+    _ = float(chained(params, data))
     return (time.perf_counter() - t0) / iterations
 
 
@@ -78,8 +94,7 @@ def main() -> None:
         frames = jax.random.randint(
             key, (b, args.source_size, args.source_size, 3), 0, 255, jnp.uint8
         )
-        encoded = jax.jit(image_fwd)
-        t = _bench(encoded, (params, frames), args.iterations)
+        t = _bench(image_fwd, params, frames, args.iterations)
         print(f"{b:>6} {t * 1e3:>10.2f} {b / t:>14.0f}")
 
     @jax.jit
@@ -91,7 +106,7 @@ def main() -> None:
         jnp.int32,
     )
     toks = toks.at[:, 0].set(cfg.vocab_size - 2).at[:, -1].set(cfg.vocab_size - 1)
-    t = _bench(text_fwd, (params, toks), args.iterations)
+    t = _bench(text_fwd, params, toks, args.iterations)
     print(f"text  batch={args.text_batch}: {t * 1e3:.2f} ms/batch "
           f"({args.text_batch / t:.0f} seqs/s/chip)")
 

@@ -461,15 +461,38 @@ def describe_rollout(
     on any bordered MiniGrid grid are the static border walls at
     (0,0),(0,1),(0,2) — so any snapshot of the same episode yields the
     identical list the reference computes per step
-    (`clip_ppo_minigrid.py:164-211`).
+    (`clip_ppo_minigrid.py:164-211`). The grid scan therefore runs once
+    per env (N), not once per sample (T·N) — this sits on the host
+    critical path of every text-modality iteration.
     """
     t, n = agent_dir.shape
-    grids = np.tile(np.asarray(grids), (t, 1, 1, 1))
-    return describe_states(
-        grids,
-        np.asarray(agent_pos).reshape(t * n, 2),
-        np.asarray(agent_dir).reshape(t * n),
-    )
+    obj_suffixes = [
+        _objects_suffix(np.asarray(grids)[i]) for i in range(n)
+    ]
+    agent_pos = np.asarray(agent_pos).reshape(t * n, 2)
+    agent_dir = np.asarray(agent_dir).reshape(t * n)
+    out = []
+    for i in range(t * n):
+        desc = (
+            f"agent at ({int(agent_pos[i][0])},{int(agent_pos[i][1])}) "
+            f"facing {DIR_NAMES[int(agent_dir[i])]}"
+        )
+        out.append(desc + obj_suffixes[i % n])
+    return out
+
+
+def _objects_suffix(grid: np.ndarray, max_objects: int = 3) -> str:
+    """", objects: ..." suffix from one grid's first non-empty cells."""
+    objs = []
+    w, h = grid.shape[:2]
+    for x in range(w):
+        for y in range(h):
+            o = int(grid[x, y, 0])
+            if o not in (UNSEEN, EMPTY):
+                objs.append(f"{IDX_TO_OBJECT[o]} at ({x},{y})")
+                if len(objs) >= max_objects:
+                    return f", objects: {', '.join(objs)}"
+    return f", objects: {', '.join(objs)}" if objs else ""
 
 
 def describe_states(

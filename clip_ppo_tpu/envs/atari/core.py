@@ -97,18 +97,24 @@ class AtariParams:
 
     @property
     def num_actions(self) -> int:
-        return NUM_ACTIONS_BREAKOUT if self.game == "breakout" else NUM_ACTIONS_PONG
+        if self.game == "breakout":
+            return NUM_ACTIONS_BREAKOUT
+        if self.game == "pong":
+            return NUM_ACTIONS_PONG
+        from clip_ppo_tpu.envs.atari.seaquest import NUM_ACTIONS_SEAQUEST
+
+        return NUM_ACTIONS_SEAQUEST
 
 
 def parse_atari_id(env_id: str) -> AtariParams:
     """Map ALE env-id strings (``ALE/Breakout-v5``, ``BreakoutNoFrameskip-v4``,
     ``ALE/Pong-v5``…) to AtariParams."""
-    m = re.match(r"(ALE/)?(Breakout|Pong)(NoFrameskip)?(-v\d+)?$", env_id)
+    m = re.match(r"(ALE/)?(Breakout|Pong|Seaquest)(NoFrameskip)?(-v\d+)?$", env_id)
     if not m:
         raise ValueError(
             f"unsupported Atari env id: {env_id!r} (the pure-JAX backend "
-            "implements Breakout and Pong — the games the reference's CLIP "
-            "description pipeline supports; install ale_py for others)"
+            "implements Breakout, Pong and Seaquest — the reference grid's "
+            "games; install ale_py for others)"
         )
     return AtariParams(m.group(2).lower())
 
@@ -513,19 +519,33 @@ def pong_render(s: PongState) -> jax.Array:
 
 
 def reset(params: AtariParams, key: jax.Array):
-    return breakout_reset(key) if params.game == "breakout" else pong_reset(key)
+    if params.game == "breakout":
+        return breakout_reset(key)
+    if params.game == "pong":
+        return pong_reset(key)
+    from clip_ppo_tpu.envs.atari import seaquest
+
+    return seaquest.seaquest_reset(key)
 
 
 def step(params: AtariParams, state, action: jax.Array):
     if params.game == "breakout":
         return breakout_step(state, action)
-    return pong_step(state, action)
+    if params.game == "pong":
+        return pong_step(state, action)
+    from clip_ppo_tpu.envs.atari import seaquest
+
+    return seaquest.seaquest_step(state, action)
 
 
 def render(params: AtariParams, state) -> jax.Array:
     if params.game == "breakout":
         return breakout_render(state)
-    return pong_render(state)
+    if params.game == "pong":
+        return pong_render(state)
+    from clip_ppo_tpu.envs.atari import seaquest
+
+    return seaquest.seaquest_render(state)
 
 
 def describe_breakout(
@@ -584,7 +604,10 @@ def describe_pong(
 
 def describe_states(params: AtariParams, state, n: int) -> list[str]:
     """Batched state → per-env text (dispatcher mirroring
-    `generate_atari_descriptions`, `clip_ppo_atari.py:445-462`)."""
+    `generate_atari_descriptions`, `clip_ppo_atari.py:445-462`; like the
+    reference, Seaquest has no description generator and raises)."""
+    if params.game == "seaquest":
+        raise ValueError("Seaquest not supported for CLIP PPO")
     if params.game == "breakout":
         return describe_breakout(
             np.asarray(state.score), np.asarray(state.ball_x),

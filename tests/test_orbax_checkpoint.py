@@ -1,0 +1,69 @@
+"""Orbax checkpoint backend: reference payload round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("orbax.checkpoint")
+
+from clip_ppo_tpu.io.orbax_checkpoint import (
+    load_checkpoint_orbax,
+    save_checkpoint_orbax,
+)
+
+
+def _tree(key):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    return {
+        "trunk": {"w": jax.random.normal(k1, (4, 8)), "b": jnp.zeros(8)},
+        "actor": {"w": jax.random.normal(k2, (8, 3)), "b": jnp.ones(3)},
+    }
+
+
+def test_roundtrip(tmp_path):
+    import dataclasses
+
+    @dataclasses.dataclass
+    class Args:
+        seed: int = 7
+        env_id: str = "MiniGrid-Empty-16x16-v0"
+
+    params = _tree(0)
+    opt_state = {"m": _tree(1), "count": jnp.int32(5)}
+    prefix = str(tmp_path / "run")
+    save_checkpoint_orbax(prefix, params, opt_state, 3, 3072, Args())
+
+    p2, o2, it, gs, meta = load_checkpoint_orbax(
+        f"{prefix}_step_3072",
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        jax.tree_util.tree_map(jnp.zeros_like, opt_state),
+    )
+    assert (it, gs) == (3, 3072)
+    assert meta["args"]["seed"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # _latest mirror exists and restores identically.
+    p3, _, it3, _, _ = load_checkpoint_orbax(
+        f"{prefix}_latest",
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        jax.tree_util.tree_map(jnp.zeros_like, opt_state),
+    )
+    assert it3 == 3
+
+
+def test_final_flag(tmp_path):
+    params = _tree(0)
+    opt = {"count": jnp.int32(1)}
+    prefix = str(tmp_path / "run")
+    save_checkpoint_orbax(prefix, params, opt, 9, 9216, {"seed": 1}, final=True)
+    _, _, _, _, meta = load_checkpoint_orbax(
+        f"{prefix}_final",
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        {"count": jnp.int32(0)},
+    )
+    assert meta["training_complete"] is True

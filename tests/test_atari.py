@@ -180,7 +180,7 @@ class TestVectorEnv:
 
     def test_parse_rejects_unknown(self):
         with pytest.raises(ValueError):
-            core.parse_atari_id("ALE/Seaquest-v5")
+            core.parse_atari_id("ALE/MsPacman-v5")
 
     def test_action_spaces(self):
         assert AtariVectorEnv("ALE/Breakout-v5", 1).num_actions == 4

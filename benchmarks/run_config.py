@@ -118,12 +118,14 @@ def config_5(args):  # ViT-L/14 encoder under SEVERE disturbances (eval sweep)
     b = 256
 
     @jax.jit
-    def sweep(frames, key):
+    def sweep(p, frames, key):
+        # params as an argument — closures would bake 1.6 GB of ViT-L/14
+        # weights into the compiled program as constants.
         x = frames.astype(jnp.float32) / 255.0
         xd = disturb(x, key, sev, "batched")
-        clean = clip_utils.encode_images(params, cfg, frames)
+        clean = clip_utils.encode_images(p, cfg, frames)
         dirty = clip_utils.encode_images(
-            params, cfg, (jnp.clip(xd, 0, 1) * 255).astype(jnp.uint8)
+            p, cfg, (jnp.clip(xd, 0, 1) * 255).astype(jnp.uint8)
         )
         cos = jnp.sum(clean * dirty, axis=-1)
         return cos.mean()
@@ -131,9 +133,9 @@ def config_5(args):  # ViT-L/14 encoder under SEVERE disturbances (eval sweep)
     frames = jax.random.randint(
         jax.random.PRNGKey(args.seed), (b, 84, 84, 3), 0, 255, jnp.uint8
     )
-    cos = float(sweep(frames, jax.random.PRNGKey(1)))  # compile+run
+    cos = float(sweep(params, frames, jax.random.PRNGKey(1)))  # compile+run
     t0 = time.perf_counter()
-    cos = float(sweep(frames, jax.random.PRNGKey(2)))
+    cos = float(sweep(params, frames, jax.random.PRNGKey(2)))
     dt = time.perf_counter() - t0
     _emit("cfg5_vitl14_severe_eval_fps", 2 * b / dt, "frames/s",
           {"mean_clean_dirty_cosine": round(cos, 4)})

@@ -199,8 +199,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     image_modality = compute_clip and cc.clip_modality == "image"
     needs_projection = image_modality or cc.ablation_mode == AblationMode.FROZEN_CLIP
 
+    frozen_params = {"clip": clip_params} if clip_params is not None else None
     if cc.ablation_mode == AblationMode.FROZEN_CLIP:
-        features_fn = clip_utils.make_frozen_clip_stack_features_fn(clip_params, clip_cfg)
+        features_fn = clip_utils.make_frozen_clip_stack_features_fn(clip_cfg)
     else:
         features_fn = cnn_features
 
@@ -235,14 +236,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     embed_images_fn = None
     if image_modality and cc.ablation_mode != AblationMode.RANDOM_ENCODER:
         # Fused per-iteration multi-frame CLIP encode, [B,H,W,4] → [B, 4·512]
-        # with per-512-chunk L2 norm (`generate_clip_embeddings` normalizes
-        # per frame before concat, `clip_ppo_atari.py:272-299`).
-        def embed_images_fn(obs):
-            b = obs.shape[0]
-            emb = clip_utils.multiframe_clip_embeddings(clip_params, clip_cfg, obs)
-            per_frame = emb.reshape(b, 4, -1)
-            per_frame = clip_utils.l2_normalize(per_frame)
-            return per_frame.reshape(b, -1)
+        # with per-frame L2 norm (`generate_clip_embeddings` normalizes per
+        # frame before concat, `clip_ppo_atari.py:272-299`).
+        embed_images_fn = clip_utils.make_multiframe_embed_fn(clip_cfg)
 
     trainer = Trainer(
         cfg,
@@ -254,6 +250,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         embed_images_fn=embed_images_fn,
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
+        frozen_params=frozen_params,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed),
@@ -265,11 +262,12 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
 
     encode_tokens = None
     if compute_clip and cc.clip_modality == "text":
-        encode_tokens = jax.jit(
-            lambda toks: clip_utils.l2_normalize(
-                clip_model_mod.encode_text(clip_params, clip_cfg, toks)
+        _encode = jax.jit(
+            lambda cp, toks: clip_utils.l2_normalize(
+                clip_model_mod.encode_text(cp, clip_cfg, toks)
             )
         )
+        encode_tokens = lambda toks: _encode(clip_params, toks)
 
     checkpoint_path = None
     if args.save_model:

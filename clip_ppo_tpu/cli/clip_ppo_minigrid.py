@@ -200,8 +200,11 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if compute_clip or cc.ablation_mode == AblationMode.FROZEN_CLIP:
         clip_params, clip_cfg = clip_utils.load_clip_model(cc.clip_model)
 
+    # Frozen CLIP weights are threaded through TrainState.frozen as
+    # {"clip": ...}; the feature/embedding fns never close over them.
+    frozen_params = {"clip": clip_params} if clip_params is not None else None
     if cc.ablation_mode == AblationMode.FROZEN_CLIP:
-        features_fn = clip_utils.make_frozen_clip_features_fn(clip_params, clip_cfg)
+        features_fn = clip_utils.make_frozen_clip_features_fn(clip_cfg)
     else:
         features_fn = cnn_features
 
@@ -240,7 +243,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     )
     embed_images_fn = None
     if fused_image_path:
-        embed_images_fn = partial(clip_utils.encode_images, clip_params, clip_cfg)
+        embed_images_fn = clip_utils.make_encode_images_fn(clip_cfg)
 
     trainer = Trainer(
         cfg,
@@ -252,6 +255,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         embed_images_fn=embed_images_fn,
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
+        frozen_params=frozen_params,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
@@ -261,11 +265,13 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     # Batched text encode, jitted once per shape ([1024, 77] stays fixed).
     encode_tokens = None
     if compute_clip and cc.clip_modality == "text":
-        encode_tokens = jax.jit(
-            lambda toks: clip_utils.l2_normalize(
-                clip_model_mod.encode_text(clip_params, clip_cfg, toks)
+        # CLIP params passed as an argument (not a closure constant).
+        _encode = jax.jit(
+            lambda cp, toks: clip_utils.l2_normalize(
+                clip_model_mod.encode_text(cp, clip_cfg, toks)
             )
         )
+        encode_tokens = lambda toks: _encode(clip_params, toks)
 
     checkpoint_path = None
     if args.save_model:

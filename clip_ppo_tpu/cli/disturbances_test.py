@@ -30,7 +30,6 @@ from clip_ppo_tpu.ops.disturbances import (
     apply_cutout_shared,
     apply_gaussian_blur,
     apply_gaussian_noise,
-    disturb,
 )
 from clip_ppo_tpu.utils import flags
 
@@ -136,8 +135,19 @@ def run(args: DisturbanceTestArgs) -> str:
             ("cutout", np.asarray(apply_cutout_shared(x, k_cutout, params.cutout_ratio))[0])
         )
     if args.noise or args.contrast or args.blur or args.cutout:
-        # Combined full pipeline with whatever stages the preset carries.
-        panels.append(("combined", np.asarray(disturb(x, k_combined, params))[0]))
+        # Combined panel applies ONLY the enabled stages, in pipeline order
+        # (matching the reference harness's toggle semantics).
+        kc = jax.random.split(k_combined, 3)
+        y = x
+        if args.noise:
+            y = apply_gaussian_noise(y, kc[0], params.gaussian_noise_sigma)
+        if args.contrast:
+            y = apply_contrast_blend(y, kc[1], params.contrast_range)
+        if args.blur:
+            y = apply_gaussian_blur(y, params.gaussian_blur_sigma, params.blur_kernel_size)
+        if args.cutout:
+            y = apply_cutout_shared(y, kc[2], params.cutout_ratio)
+        panels.append(("combined", np.asarray(y)[0]))
 
     from PIL import Image, ImageDraw
 

@@ -10,10 +10,11 @@ the interactive confirm, ``--dry-run`` prints the commands, ``--start-at``
 is a flag instead of an edit-the-source constant
 (`run_experiments.py:232`), and ``--filter`` selects runs by substring.
 
-Note: the reference grid includes ALE/Seaquest-v5, which its own CLIP
-description pipeline cannot handle (`clip_ppo_atari.py:445-462` raises) —
-the pure-JAX backend supports Breakout and Pong, so Seaquest entries are
-generated (grid parity) but reported as skipped unless ale_py is present.
+All three grid environments (Breakout, Pong, Seaquest) run on the
+pure-JAX backend; the grid forces image modality, so Seaquest's missing
+text-description generator (which raises in the reference,
+`clip_ppo_atari.py:445-462`) is never exercised — exactly as in the
+reference's own grid runs.
 """
 
 from __future__ import annotations

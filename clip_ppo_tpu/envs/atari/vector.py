@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_ppo_tpu.envs.atari import core
+from clip_ppo_tpu.envs.base import HostVectorEnvMixin
 
 
 @jax.tree_util.register_dataclass
@@ -41,7 +42,7 @@ class AtariVecState:
     episode_length: jax.Array   # [N] i32 inner steps (4 per agent step)
 
 
-class AtariVectorEnv:
+class AtariVectorEnv(HostVectorEnvMixin):
     """Vectorized pure-JAX Atari (Breakout | Pong), JaxVectorEnv-compatible."""
 
     def __init__(self, env_id: str, num_envs: int, clip_rewards: bool = True):
@@ -134,37 +135,7 @@ class AtariVectorEnv:
     def step_fn(self, state: AtariVecState, actions: jax.Array):
         return self._jit_step(state, actions)
 
-    # -- host API (reference-script compatible) ------------------------------
-
-    def reset(self, seed: int = 0):
-        state, obs = self.reset_fn(jax.random.PRNGKey(seed))
-        self._host_state = state
-        return np.asarray(obs), {}
-
-    def step(self, actions: np.ndarray):
-        assert self._host_state is not None, "call reset() first"
-        state, obs, reward, terminated, truncated, info = self.step_fn(
-            self._host_state, jnp.asarray(actions)
-        )
-        self._host_state = state
-        done_mask = np.asarray(info["done_mask"])
-        infos: dict = {}
-        if done_mask.any():
-            infos["episode"] = {
-                "_r": done_mask,
-                "r": np.asarray(info["episode_return"]),
-                "l": np.asarray(info["episode_length"]),
-            }
-        return (
-            np.asarray(obs),
-            np.asarray(reward),
-            np.asarray(terminated),
-            np.asarray(truncated),
-            infos,
-        )
-
-    def close(self):
-        self._host_state = None
+    # host API (reset/step/close) comes from HostVectorEnvMixin
 
     def render_env0(self, state: AtariVecState) -> jax.Array:
         """RGB render of env 0 for video capture: the newest stacked frame

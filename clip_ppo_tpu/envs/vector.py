@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clip_ppo_tpu.envs.base import HostVectorEnvMixin
 from clip_ppo_tpu.envs.minigrid import core as minigrid_core
 
 
@@ -46,7 +47,7 @@ def _select(done: jax.Array, a, b):
     return jax.tree_util.tree_map(pick, a, b)
 
 
-class JaxVectorEnv:
+class JaxVectorEnv(HostVectorEnvMixin):
     """Vectorized pure-JAX environment (MiniGrid family).
 
     Exposes two APIs:
@@ -92,12 +93,12 @@ class JaxVectorEnv:
         """[N, obs, obs, 3] uint8 observations (nearest 12× upscale of the
         7×7 symbolic view — exactly gymnasium ResizeObservation INTER_AREA
         at integer zoom, `ppo_minigrid.py:114`)."""
+        from clip_ppo_tpu.ops.resize import upscale_nearest
+
         view = jax.vmap(minigrid_core.observe, in_axes=(None, 0))(
             self.params, state.env
         )
-        view = jnp.repeat(view, self._upscale, axis=1)
-        view = jnp.repeat(view, self._upscale, axis=2)
-        return view
+        return upscale_nearest(view, self._upscale)
 
     def _reset_impl(self, key: jax.Array) -> tuple[VecState, jax.Array]:
         keys = jax.random.split(key, self.num_envs)
@@ -145,37 +146,7 @@ class JaxVectorEnv:
     def step_fn(self, state: VecState, actions: jax.Array):
         return self._jit_step(state, actions)
 
-    # -- host API (reference-script compatible) ------------------------------
-
-    def reset(self, seed: int = 0):
-        state, obs = self.reset_fn(jax.random.PRNGKey(seed))
-        self._host_state = state
-        return np.asarray(obs), {}
-
-    def step(self, actions: np.ndarray):
-        assert self._host_state is not None, "call reset() first"
-        state, obs, reward, terminated, truncated, info = self.step_fn(
-            self._host_state, jnp.asarray(actions)
-        )
-        self._host_state = state
-        done_mask = np.asarray(info["done_mask"])
-        infos: dict = {}
-        if done_mask.any():
-            infos["episode"] = {
-                "_r": done_mask,
-                "r": np.asarray(info["episode_return"]),
-                "l": np.asarray(info["episode_length"]),
-            }
-        return (
-            np.asarray(obs),
-            np.asarray(reward),
-            np.asarray(terminated),
-            np.asarray(truncated),
-            infos,
-        )
-
-    def close(self):
-        self._host_state = None
+    # host API (reset/step/close) comes from HostVectorEnvMixin
 
     def render_env0(self, state: VecState) -> jax.Array:
         """RGB render of env 0 for video capture ([H, W, 3] uint8)."""

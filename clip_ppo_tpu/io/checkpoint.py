@@ -15,6 +15,7 @@ what makes resume work across host topologies.
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 from enum import Enum
 from pathlib import Path
@@ -39,6 +40,10 @@ def _jsonable(value):
     return value
 
 
+def _backend(backend: Optional[str]) -> str:
+    return backend or os.environ.get("CLIP_PPO_CKPT_BACKEND", "pickle")
+
+
 def save_checkpoint(
     prefix: str,
     params: dict,
@@ -49,7 +54,17 @@ def save_checkpoint(
     b_returns: Optional[np.ndarray] = None,
     final: bool = False,
     extra_models: Optional[dict] = None,
+    backend: Optional[str] = None,
 ) -> str:
+    """``backend``: "pickle" (default) or "orbax"; also settable via the
+    ``CLIP_PPO_CKPT_BACKEND`` env var."""
+    if _backend(backend) == "orbax":
+        from clip_ppo_tpu.io.orbax_checkpoint import save_checkpoint_orbax
+
+        return save_checkpoint_orbax(
+            prefix, params, opt_state, iteration, global_step, args,
+            b_returns=b_returns, final=final, extra_models=extra_models,
+        )
     checkpoint = {
         "iteration": int(iteration),
         "global_step": int(global_step),
@@ -84,12 +99,18 @@ def load_checkpoint(
     path: str,
     params_template: dict,
     opt_state_template: Any,
+    backend: Optional[str] = None,
 ) -> tuple[dict, Any, int, int, dict]:
     """Restore (params, opt_state, iteration, global_step, raw_checkpoint).
 
     Like the reference loader (`checkpoint_utils.py:49-80`), warns when
-    resuming from a final checkpoint.
+    resuming from a final checkpoint. Orbax checkpoint directories are
+    auto-detected (or force with ``backend="orbax"``).
     """
+    if _backend(backend) == "orbax" or Path(path).is_dir():
+        from clip_ppo_tpu.io.orbax_checkpoint import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(path, params_template, opt_state_template)
     print(f"Loading checkpoint from {path}")
     with open(path, "rb") as f:
         checkpoint = pickle.load(f)

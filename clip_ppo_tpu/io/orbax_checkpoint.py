@@ -8,8 +8,9 @@ async-friendly, sharding-aware restore (each host restores only its
 shards). Naming mirrors the reference (`shared/checkpoint_utils.py:37-46`):
 ``{prefix}_step_{N}`` directories plus ``_latest`` and ``_final``.
 
-Select with ``save_checkpoint(..., backend="orbax")`` or
-``CLIP_PPO_CKPT_BACKEND=orbax``.
+Select with ``clip_ppo_tpu.io.save_checkpoint(..., backend="orbax")`` or
+``CLIP_PPO_CKPT_BACKEND=orbax``; ``load_checkpoint`` auto-detects orbax
+directories.
 """
 
 from __future__ import annotations

@@ -59,11 +59,22 @@ def init_agent_params(
     return params
 
 
-FeatureFn = Callable[[dict, jax.Array], jax.Array]
+# Feature trunks are either ``fn(params, obs)`` or, when they consume
+# non-optimized weights (frozen CLIP towers), ``fn(params, obs, frozen)``.
+# The frozen pytree is threaded explicitly (TrainState.frozen) rather than
+# captured in a closure: closed-over arrays become compile-time constants
+# and bloat the executable (SURVEY §7; observed HTTP 413 on tunneled TPUs).
+FeatureFn = Callable[..., jax.Array]
 
 
-def cnn_features(params: dict, obs: jax.Array, dtype=None) -> jax.Array:
-    """uint8 [B,H,W,C] observations → [B, hidden] features (x/255 inside)."""
+def _features(features_fn: FeatureFn, params: dict, obs: jax.Array, frozen):
+    return features_fn(params, obs, frozen)
+
+
+def cnn_features(params: dict, obs: jax.Array, frozen=None, dtype=None) -> jax.Array:
+    """uint8 [B,H,W,C] observations → [B, hidden] features (x/255 inside).
+    ``frozen`` is accepted (and ignored) for FeatureFn-contract uniformity."""
+    del frozen
     x = obs.astype(jnp.float32) / 255.0
     return cnn.nature_cnn(params["trunk"], x, dtype)
 
@@ -87,9 +98,10 @@ def get_action_and_value(
     obs: jax.Array,
     key: jax.Array,
     features_fn: FeatureFn = cnn_features,
+    frozen=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sample an action; returns (action, logprob, entropy, value)."""
-    hidden = features_fn(params, obs)
+    hidden = _features(features_fn, params, obs, frozen)
     logits, value = heads(params, hidden)
     action = jax.random.categorical(key, logits)
     logp, entropy = logprob_entropy(logits, action)
@@ -101,24 +113,27 @@ def evaluate_actions(
     obs: jax.Array,
     action: jax.Array,
     features_fn: FeatureFn = cnn_features,
+    frozen=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (logprob, entropy, value, hidden) for given actions."""
-    hidden = features_fn(params, obs)
+    hidden = _features(features_fn, params, obs, frozen)
     logits, value = heads(params, hidden)
     logp, entropy = logprob_entropy(logits, action)
     return logp, entropy, value, hidden
 
 
 def get_value(
-    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features
+    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features,
+    frozen=None,
 ) -> jax.Array:
-    hidden = features_fn(params, obs)
+    hidden = _features(features_fn, params, obs, frozen)
     return cnn.dense(params["critic"], hidden)[..., 0]
 
 
 def get_latent_representation(
-    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features
+    params: dict, obs: jax.Array, features_fn: FeatureFn = cnn_features,
+    frozen=None,
 ) -> jax.Array:
     """Detached latent for CLIP alignment (`clip_ppo_minigrid.py:269-271`):
     gradients never flow into the trunk through the CLIP loss."""
-    return jax.lax.stop_gradient(features_fn(params, obs))
+    return jax.lax.stop_gradient(_features(features_fn, params, obs, frozen))

@@ -155,16 +155,19 @@ def get_frozen_clip_features(
     return jax.lax.stop_gradient(feats)
 
 
-def make_frozen_clip_features_fn(clip_params: dict, cfg: CLIPConfig,
-                                 compute_dtype=jnp.bfloat16):
+def make_frozen_clip_features_fn(cfg: CLIPConfig, compute_dtype=jnp.bfloat16):
     """FeatureFn for the FROZEN_CLIP ablation on RGB observations: the
     agent's trunk becomes ``clip.visual`` (`clip_ppo_minigrid.py:219-227`).
-    ``clip_params`` are captured, never optimized."""
 
-    def features(params: dict, obs: jax.Array) -> jax.Array:
+    The frozen tower's weights arrive through the third (``frozen``)
+    argument — ``{"clip": clip_params}`` threaded via ``TrainState.frozen``
+    — NOT a closure: closed-over weight arrays become compile-time
+    constants and bloat the executable."""
+
+    def features(params: dict, obs: jax.Array, frozen: dict) -> jax.Array:
         del params  # trunk is the frozen CLIP tower
         x = obs.astype(jnp.float32) / 255.0
-        return get_frozen_clip_features(clip_params, cfg, x, compute_dtype)
+        return get_frozen_clip_features(frozen["clip"], cfg, x, compute_dtype)
 
     return features
 
@@ -194,17 +197,45 @@ def multiframe_clip_embeddings(
     return feats.reshape(b, -1)
 
 
-def make_frozen_clip_stack_features_fn(clip_params: dict, cfg: CLIPConfig,
+def make_frozen_clip_stack_features_fn(cfg: CLIPConfig,
                                        compute_dtype=jnp.bfloat16):
     """Atari FROZEN_CLIP FeatureFn: per-frame frozen CLIP features,
     concatenated and passed through the trainable ``temporal_projection``
-    (`clip_ppo_atari.py:211-228`). Gradients reach only the projection."""
+    (`clip_ppo_atari.py:211-228`). Gradients reach only the projection.
+    CLIP weights arrive via ``frozen["clip"]`` (see
+    :func:`make_frozen_clip_features_fn`)."""
 
-    def features(params: dict, obs: jax.Array) -> jax.Array:
-        concat = multiframe_clip_embeddings(clip_params, cfg, obs, compute_dtype)
+    def features(params: dict, obs: jax.Array, frozen: dict) -> jax.Array:
+        concat = multiframe_clip_embeddings(
+            frozen["clip"], cfg, obs, compute_dtype
+        )
         return cnn.dense(params["temporal_projection"], concat)
 
     return features
+
+
+def make_encode_images_fn(cfg: CLIPConfig, compute_dtype=jnp.float32):
+    """Per-iteration image-embedding fn for the fused MiniGrid image
+    modality: ``(obs_uint8, frozen) -> [B, embed_dim]`` L2-normalized."""
+
+    def embed(obs: jax.Array, frozen: dict) -> jax.Array:
+        return encode_images(frozen["clip"], cfg, obs, compute_dtype)
+
+    return embed
+
+
+def make_multiframe_embed_fn(cfg: CLIPConfig, compute_dtype=jnp.bfloat16):
+    """Per-iteration multi-frame embedding fn for the fused Atari image
+    modality: ``(obs_stack_uint8, frozen) -> [B, 4·embed_dim]`` with
+    per-frame L2 norm (`clip_ppo_atari.py:272-299`)."""
+
+    def embed(obs: jax.Array, frozen: dict) -> jax.Array:
+        b = obs.shape[0]
+        emb = multiframe_clip_embeddings(frozen["clip"], cfg, obs, compute_dtype)
+        per_frame = l2_normalize(emb.reshape(b, obs.shape[-1], -1))
+        return per_frame.reshape(b, -1)
+
+    return embed
 
 
 @dataclasses.dataclass

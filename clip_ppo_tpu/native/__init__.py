@@ -36,17 +36,23 @@ def _build() -> Optional[ctypes.CDLL]:
     so_path = _CACHE_DIR / f"fast_bpe-{tag}.so"
     if not so_path.exists():
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-        tmp = so_path.with_suffix(".so.tmp")
+        # Per-process tmp name: concurrent cold-cache builds must not race
+        # on one path (interleaved writes could publish a corrupt .so).
+        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
         cmd = [
             "gcc", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_SRC),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            os.replace(tmp, so_path)  # atomic publish
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
             warnings.warn(f"native fast_bpe build failed ({e}); using Python BPE")
             return None
-        os.replace(tmp, so_path)
-    lib = ctypes.CDLL(str(so_path))
+    try:
+        lib = ctypes.CDLL(str(so_path))
+    except OSError as e:
+        warnings.warn(f"native fast_bpe load failed ({e}); using Python BPE")
+        return None
     lib.fast_bpe_encode_batch.restype = None
     lib.fast_bpe_encode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # all_syms (in/out)

@@ -28,7 +28,9 @@ import optax
 from clip_ppo_tpu.models import agent as agent_mod
 from clip_ppo_tpu.models import nature_cnn as cnn
 
-CLIP_LOSS_FREQUENCY = 4  # every 4th minibatch (`clip_ppo_utils.py:24`)
+# Every 4th minibatch (`clip_ppo_utils.py:24`) — single source of truth in
+# models/clip_utils; re-exported here for the update scans.
+from clip_ppo_tpu.models.clip_utils import CLIP_LOSS_FREQUENCY  # noqa: E402
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,10 +108,11 @@ def ppo_loss(
     clip_embeddings: Optional[jax.Array],
     clip_lambda_eff: jax.Array,
     use_clip_this_mb: jax.Array,
+    frozen=None,
 ):
     """Full minibatch loss; returns (loss, UpdateMetrics-ish aux dict)."""
     newlogprob, entropy, newvalue, hidden = agent_mod.evaluate_actions(
-        params, mb["obs"], mb["actions"], features_fn
+        params, mb["obs"], mb["actions"], features_fn, frozen
     )
     logratio = newlogprob - mb["logprobs"]
     ratio = jnp.exp(logratio)
@@ -151,10 +154,9 @@ def ppo_loss(
             c = cnn.dense(params["temporal_projection"], clip_embeddings)
         else:
             c = clip_embeddings
-        zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
-        cn = c / (jnp.linalg.norm(c, axis=-1, keepdims=True) + 1e-12)
-        cos = jnp.sum(zn * cn, axis=-1)
-        raw_clip_loss = jnp.mean(1.0 - cos)
+        from clip_ppo_tpu.models.clip_utils import compute_cosine_embedding_loss
+
+        raw_clip_loss = compute_cosine_embedding_loss(z, c)
         # Gated to every CLIP_LOSS_FREQUENCY-th minibatch.
         clip_loss = jnp.where(use_clip_this_mb, raw_clip_loss, 0.0)
         loss = loss + clip_lambda_eff * clip_loss
@@ -181,6 +183,7 @@ def update_epochs(
     features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
     clip_embeddings: Optional[jax.Array] = None,
     clip_lambda_eff: jax.Array | float = 0.0,
+    frozen=None,
 ) -> tuple[dict, Any, UpdateMetrics]:
     """Run ``update_epochs × num_minibatches`` PPO steps as nested scans.
 
@@ -198,7 +201,7 @@ def update_epochs(
         use_clip = (mb_counter % CLIP_LOSS_FREQUENCY) == 0
         (loss, aux), grads = grad_fn(
             params, mb, cfg, features_fn, clip_embeddings_mb(mb),
-            clip_lambda_eff, use_clip,
+            clip_lambda_eff, use_clip, frozen,
         )
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

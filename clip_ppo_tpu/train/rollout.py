@@ -59,6 +59,7 @@ def collect_rollout(
     disturbance_semantics: str = "batched",
     features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
     capture_video: bool = False,
+    frozen=None,
 ):
     """Scan ``num_steps`` env steps. Returns (vec_state, obs, next_done,
     key, RolloutBatch)."""
@@ -73,7 +74,7 @@ def collect_rollout(
             obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
         action, logprob, _, value = agent_mod.get_action_and_value(
-            params, obs, k_act, features_fn
+            params, obs, k_act, features_fn, frozen
         )
         new_vec_state, new_obs, reward, term, trunc, info = env._step_impl(
             vec_state, action

@@ -67,6 +67,7 @@ class Trainer:
         clip_lambda: float = 0.0,
         clip_warmup_fraction: float = 0.2,
         capture_env0: bool = False,
+        frozen_params: Any = None,
     ):
         self.cfg = cfg
         self.env = env
@@ -80,6 +81,14 @@ class Trainer:
         # Surface env 0's rollout frames for video capture (RecordVideo
         # equivalent, io/video.py) — one extra D2H copy per iteration.
         self.capture_env0 = capture_env0
+        # Non-optimized weights (frozen CLIP towers) used by the feature /
+        # embedding fns. Passed to the jitted programs as a separate
+        # NON-donated argument: closing over large weights would bake them
+        # into the compiled program as constants (bloated executables; on
+        # tunneled devices the compile request can exceed limits — observed
+        # HTTP 413), and carrying them inside the donated TrainState would
+        # invalidate the host's references to the same buffers.
+        self.frozen_params = frozen_params
         self.optimizer = ppo_mod.make_optimizer(cfg)
         self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
         self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
@@ -102,21 +111,20 @@ class Trainer:
         )
 
     def clip_lambda_eff(self, iteration: jax.Array) -> jax.Array:
-        """λ with linear warmup over the first ``clip_warmup_fraction`` of
-        training; iteration is 1-indexed, warmup uses ``iteration-1``."""
-        warmup_iters = int(self.num_iterations * self.clip_warmup_fraction)
-        cur = iteration.astype(jnp.float32) - 1.0
-        if warmup_iters <= 0:
-            return jnp.float32(self.clip_lambda)
-        return jnp.where(
-            cur < warmup_iters,
-            self.clip_lambda * (cur / warmup_iters),
+        """λ with linear warmup (`clip_ppo_utils.py:26-46`); iteration is
+        1-indexed, the warmup schedule uses ``iteration-1``."""
+        from clip_ppo_tpu.models import clip_utils
+
+        return clip_utils.get_clip_lambda_with_warmup(
             self.clip_lambda,
+            iteration - 1,
+            self.num_iterations,
+            self.clip_warmup_fraction,
         )
 
     # -- fused path (no CLIP, or in-graph image CLIP) -------------------------
 
-    def _rollout(self, state: TrainState):
+    def _rollout(self, state: TrainState, frozen):
         vec_state, obs, next_done, key, batch = rollout_mod.collect_rollout(
             state.params,
             self.env,
@@ -129,14 +137,17 @@ class Trainer:
             self.disturbance_semantics,
             self.features_fn,
             self.capture_env0,
+            frozen,
         )
         state = dataclasses.replace(
             state, vec_state=vec_state, obs=obs, next_done=next_done, key=key
         )
         return state, batch
 
-    def _flatten(self, state: TrainState, batch: rollout_mod.RolloutBatch):
-        next_value = agent_mod.get_value(state.params, state.obs, self.features_fn)
+    def _flatten(self, state: TrainState, batch: rollout_mod.RolloutBatch, frozen):
+        next_value = agent_mod.get_value(
+            state.params, state.obs, self.features_fn, frozen
+        )
         advantages, returns = gae_mod.compute_gae(
             batch.rewards, batch.values, batch.dones,
             next_value, state.next_done, self.cfg.gamma, self.cfg.gae_lambda,
@@ -153,7 +164,7 @@ class Trainer:
         return flat
 
     def _update(self, state: TrainState, flat: dict, iteration: jax.Array,
-                clip_embeddings: Optional[jax.Array]):
+                clip_embeddings: Optional[jax.Array], frozen=None):
         lr = (
             ppo_mod.anneal_lr(self.cfg, iteration, self.num_iterations)
             if self.cfg.anneal_lr
@@ -165,6 +176,7 @@ class Trainer:
             state.params, opt_state, flat, k_update, self.cfg, self.optimizer,
             self.features_fn, clip_embeddings,
             self.clip_lambda_eff(iteration),
+            frozen=frozen,
         )
         state = dataclasses.replace(
             state, params=params, opt_state=opt_state, key=key
@@ -184,13 +196,13 @@ class Trainer:
         }
         return state, scalars
 
-    def _iteration(self, state: TrainState, iteration: jax.Array):
-        state, batch = self._rollout(state)
-        flat = self._flatten(state, batch)
+    def _iteration(self, state: TrainState, iteration: jax.Array, frozen):
+        state, batch = self._rollout(state, frozen)
+        flat = self._flatten(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:
-            clip_embeddings = self.embed_images_fn(flat["obs"])
-        state, scalars = self._update(state, flat, iteration, clip_embeddings)
+            clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
+        state, scalars = self._update(state, flat, iteration, clip_embeddings, frozen)
         episode_stats = self._episode_stats(batch)
         return state, scalars, episode_stats
 
@@ -207,23 +219,23 @@ class Trainer:
 
     def run_iteration(self, state: TrainState, iteration: int):
         """Fused path: the whole iteration is one device program."""
-        return self._jit_iteration(state, jnp.int32(iteration))
+        return self._jit_iteration(state, jnp.int32(iteration), self.frozen_params)
 
     # -- split path (text modality: host descriptions between halves) ---------
 
-    def _rollout_half(self, state: TrainState):
-        state, batch = self._rollout(state)
-        flat = self._flatten(state, batch)
+    def _rollout_half(self, state: TrainState, frozen):
+        state, batch = self._rollout(state, frozen)
+        flat = self._flatten(state, batch, frozen)
         return state, flat, self._episode_stats(batch), batch.desc
 
     def _update_half(self, state: TrainState, flat: dict, iteration: jax.Array,
-                     clip_embeddings: Optional[jax.Array]):
-        return self._update(state, flat, iteration, clip_embeddings)
+                     clip_embeddings: Optional[jax.Array], frozen):
+        return self._update(state, flat, iteration, clip_embeddings, frozen)
 
     def run_rollout_half(self, state: TrainState):
-        return self._jit_rollout_half(state)
+        return self._jit_rollout_half(state, self.frozen_params)
 
     def run_update_half(self, state, flat, iteration: int, clip_embeddings):
         return self._jit_update_half(
-            state, flat, jnp.int32(iteration), clip_embeddings
+            state, flat, jnp.int32(iteration), clip_embeddings, self.frozen_params
         )

@@ -69,14 +69,30 @@ def _convert(value: str, tp: Any, flag: str) -> Any:
             raise SystemExit(f"error: invalid float for {flag}: {value!r}")
     if tp is str or tp == "str" or tp is Any:
         return value
-    origin = typing.get_origin(tp)
-    if origin in (list, tuple):
-        elem = (typing.get_args(tp) or (str,))[0]
-        parts = [p for p in value.replace(",", " ").split() if p]
+    if _seq_kind(tp) is not None:
+        elem = _seq_elem(tp)
+        parts = [p for p in value.split(",") if p]
         seq = [_convert(p, elem, flag) for p in parts]
-        return tuple(seq) if origin is tuple else seq
+        return tuple(seq) if _seq_kind(tp) is tuple else seq
     # Fall back to the constructor (e.g. pathlib.Path).
     return tp(value)
+
+
+def _seq_kind(tp: Any):
+    """tuple/list for sequence-typed flags (bare or parameterized), else None."""
+    _, tp = _is_optional(tp)
+    origin = typing.get_origin(tp)
+    if origin in (list, tuple):
+        return origin
+    if tp in (list, tuple):
+        return tp
+    return None
+
+
+def _seq_elem(tp: Any):
+    _, tp = _is_optional(tp)
+    args = [a for a in typing.get_args(tp) if a is not Ellipsis]
+    return args[0] if args else str
 
 
 def _resolve_types(cls: type) -> dict[str, Any]:
@@ -114,6 +130,15 @@ def _print_help(cls: type, prog: str) -> None:
         default = _default_of(f)
         tname = getattr(tp, "__name__", str(tp))
         print(f"  {flag:<44} {tname} (default: {default!r})")
+
+
+def _get_dotted(overrides: dict, path: str):
+    node = overrides
+    for p in path.split("."):
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
 
 
 def _set_dotted(overrides: dict, path: str, value: Any) -> None:
@@ -193,6 +218,35 @@ def parse(cls: Type[T], args: Optional[Sequence[str]] = None, prog: Optional[str
             else:
                 value = True
                 i += 1
+        elif _seq_kind(tp) is not None:
+            # Sequence-typed flag: consume every following non-flag token
+            # (tyro-style multi-value), and accumulate across repeats, so
+            # `--disturbance-runs runs/hard runs/severe` and repeated
+            # `--algorithms ...` both work. Comma-joined values in a single
+            # token are also accepted.
+            kind = _seq_kind(tp)
+            elem = _seq_elem(tp)
+            raws: list[str] = []
+            if inline is not None:
+                raws.append(inline)
+                i += 1
+            else:
+                i += 1
+                while i < len(argv) and not argv[i].startswith("--"):
+                    raws.append(argv[i])
+                    i += 1
+                if not raws:
+                    raise SystemExit(f"error: flag {tok!r} expects a value")
+            items = [
+                _convert(p, elem, tok)
+                for raw in raws
+                for p in (raw.split(",") if "," in raw else [raw])
+                if p
+            ]
+            prev = _get_dotted(overrides, key)
+            if prev is not None:
+                items = list(prev) + items
+            value = tuple(items) if kind is tuple else items
         else:
             if inline is not None:
                 raw = inline

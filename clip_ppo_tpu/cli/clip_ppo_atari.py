@@ -316,10 +316,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         else:
             state, scalars, episode_stats = trainer.run_iteration(state, iteration)
 
-        # One batched device→host fetch per iteration (separate float()/
-        # np.asarray() calls each pay a full transfer round-trip on
-        # tunneled TPU devices).
-        scalars, episode_stats = jax.device_get((scalars, episode_stats))
+        # One packed device→host fetch per iteration (every leaf fetch
+        # pays a full transfer round-trip on tunneled TPU devices).
+        scalars, episode_stats = trainer.fetch_logs(scalars, episode_stats)
         profiler.step(iteration)
         if recorder is not None:
             recorder.add_rollout(

@@ -90,6 +90,7 @@ class Trainer:
         # invalidate the host's references to the same buffers.
         self.frozen_params = frozen_params
         self.optimizer = ppo_mod.make_optimizer(cfg)
+        self._jit_pack_logs = jax.jit(self._pack_logs)
         self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
         self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
         self._jit_update_half = jax.jit(self._update_half, donate_argnums=(0,))
@@ -220,6 +221,49 @@ class Trainer:
     def run_iteration(self, state: TrainState, iteration: int):
         """Fused path: the whole iteration is one device program."""
         return self._jit_iteration(state, jnp.int32(iteration), self.frozen_params)
+
+    # -- host log fetch --------------------------------------------------------
+
+    @staticmethod
+    def _pack_logs(scalars: dict, episode_stats: dict):
+        """Pack the per-iteration log pytrees into at most three arrays.
+
+        Each device→host fetch pays a full round trip (severe on tunneled
+        TPUs: ~0.1-0.5 s per LEAF observed), so the ~13 small log leaves
+        are packed on device and fetched as 2-3 buffers.
+        """
+        sc = jnp.stack(
+            [scalars[k].astype(jnp.float32) for k in sorted(scalars)]
+        )
+        ep = jnp.stack(
+            [
+                episode_stats["done_mask"].astype(jnp.float32),
+                episode_stats["episode_return"].astype(jnp.float32),
+                episode_stats["episode_length"].astype(jnp.float32),
+            ]
+        )
+        video = episode_stats.get("env0_frames")
+        dones0 = episode_stats.get("env0_dones")
+        return sc, ep, video, dones0
+
+    def fetch_logs(self, scalars: dict, episode_stats: dict):
+        """One packed device→host fetch; returns numpy-backed dicts with
+        the same keys as the inputs."""
+        import numpy as np
+
+        sc, ep, video, dones0 = jax.device_get(
+            self._jit_pack_logs(scalars, episode_stats)
+        )
+        scalars_np = {k: sc[i] for i, k in enumerate(sorted(scalars))}
+        stats_np = {
+            "done_mask": ep[0].astype(bool),
+            "episode_return": ep[1],
+            "episode_length": ep[2].astype(np.int32),
+        }
+        if video is not None:
+            stats_np["env0_frames"] = np.asarray(video)
+            stats_np["env0_dones"] = np.asarray(dones0).astype(bool)
+        return scalars_np, stats_np
 
     # -- split path (text modality: host descriptions between halves) ---------
 

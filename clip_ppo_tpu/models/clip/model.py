@@ -55,31 +55,50 @@ def _split_heads(x: jax.Array, heads: int) -> jax.Array:
     return x.reshape(b, t, heads, d // heads)
 
 
+def _use_packed_attention(impl: str, mask) -> bool:
+    # "auto" keeps the XLA path: the packed Pallas kernel measured only
+    # ~5% faster on v5e (see pallas_attention.py) and is forward-only,
+    # so it stays opt-in via attention_impl="pallas".
+    return impl == "pallas" and mask is None
+
+
 def attention(
-    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> jax.Array:
-    """Multi-head self-attention (fused qkv projection)."""
+    """Multi-head self-attention (fused qkv projection).
+
+    ``impl``: "xla"/"auto" = einsum path; "pallas" = the batch-packed
+    tiny-seq kernel (unmasked only, forward-only; ~5% on v5e — opt-in,
+    see pallas_attention.py).
+    """
     d = x.shape[-1]
     qkv = x @ p["in_proj_w"].astype(x.dtype).T + p["in_proj_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, heads)
     k = _split_heads(k, heads)
     v = _split_heads(v, heads)
-    scale = 1.0 / np.sqrt(d // heads)
-    logits = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
-    if mask is not None:
-        logits = logits + mask.astype(logits.dtype)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhc->bqhc", weights, v)
+    if _use_packed_attention(impl, mask):
+        from clip_ppo_tpu.models.clip.pallas_attention import packed_attention
+
+        out = packed_attention(q, k, v)
+    else:
+        scale = 1.0 / np.sqrt(d // heads)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
+        if mask is not None:
+            logits = logits + mask.astype(logits.dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhc->bqhc", weights, v)
     out = out.reshape(x.shape)
     return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
 
 
 def resblock(
-    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Pre-LN transformer block with QuickGELU MLP (width → 4·width)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask)
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask, impl)
     h = layer_norm(p["ln_2"], x)
     h = h @ p["mlp"]["fc_w"].astype(x.dtype).T + p["mlp"]["fc_b"].astype(x.dtype)
     h = quick_gelu(h)
@@ -88,10 +107,11 @@ def resblock(
 
 
 def transformer(
-    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None
+    p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     for block in p["resblocks"]:
-        x = resblock(block, x, heads, mask)
+        x = resblock(block, x, heads, mask, impl)
     return x
 
 
@@ -100,6 +120,7 @@ def encode_image(
     cfg: CLIPConfig,
     images: jax.Array,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """[B, 224, 224, 3] normalized images (NHWC) → [B, embed_dim] features.
 
@@ -120,7 +141,7 @@ def encode_image(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + v["positional_embedding"].astype(compute_dtype)
     x = layer_norm(v["ln_pre"], x)
-    x = transformer(v["transformer"], x, cfg.vision_heads)
+    x = transformer(v["transformer"], x, cfg.vision_heads, impl=attention_impl)
     x = layer_norm(v["ln_post"], x[:, 0, :])
     out = x @ v["proj"].astype(compute_dtype)
     return out.astype(jnp.float32)

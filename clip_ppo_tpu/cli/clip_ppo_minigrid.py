@@ -31,7 +31,6 @@ import os
 import random
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Optional
 
 import jax

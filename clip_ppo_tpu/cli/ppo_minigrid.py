@@ -26,11 +26,10 @@ import numpy as np
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.io import (
     ProfilerWindow,
-    VideoRecorder,
-    maybe_init_wandb,
     SummaryWriter,
+    VideoRecorder,
     hyperparameters_table,
-    load_checkpoint,
+    maybe_init_wandb,
     save_checkpoint,
 )
 from clip_ppo_tpu.models import init_agent_params

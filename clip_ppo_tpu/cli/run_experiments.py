@@ -19,7 +19,6 @@ reference's own grid runs.
 
 from __future__ import annotations
 
-import dataclasses
 import subprocess
 import sys
 import time

@@ -17,8 +17,6 @@ ale_py is absent.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

@@ -37,8 +37,6 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

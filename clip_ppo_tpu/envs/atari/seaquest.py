@@ -24,7 +24,6 @@ Game model (the mechanics that matter for learning):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

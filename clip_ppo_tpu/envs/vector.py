@@ -18,7 +18,6 @@ consume (`clip_ppo_minigrid.py:419-434`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

@@ -21,7 +21,6 @@ import matplotlib
 
 matplotlib.use("Agg", force=False)
 import matplotlib.pyplot as plt
-import numpy as np
 import pandas as pd
 
 from clip_ppo_tpu.metrics.calculate_metrics import (

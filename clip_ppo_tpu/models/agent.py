@@ -13,10 +13,8 @@ Feature trunks are pluggable (Nature-CNN here; frozen-CLIP-visual in
 
 from __future__ import annotations
 
-import dataclasses
 from enum import Enum
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

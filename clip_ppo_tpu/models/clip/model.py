@@ -25,8 +25,7 @@ HF-checkpoint converter).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

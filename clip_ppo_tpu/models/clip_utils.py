@@ -16,7 +16,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clip_ppo_tpu.models.agent import AblationMode
 from clip_ppo_tpu.models.clip import model as clip_model_mod

@@ -14,9 +14,6 @@ initialization (std sqrt(2), actor 0.01, critic 1.0) and ReLU, but
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,11 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clip_ppo_tpu.ops.disturbances import disturb, disturb_auto
-from clip_ppo_tpu.ops.severity import (
-    DisturbanceParams,
-    DisturbanceSeverity,
-    resolve_params,
-)
+from clip_ppo_tpu.ops.severity import DisturbanceSeverity, resolve_params
 
 
 class _Base:

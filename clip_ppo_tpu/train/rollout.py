@@ -15,7 +15,6 @@ with ``per_image`` semantics.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -12,13 +12,11 @@ stays fully in-graph because the CLIP image encoder is device compute.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from clip_ppo_tpu.models import agent as agent_mod
 from clip_ppo_tpu.ops import DisturbanceParams

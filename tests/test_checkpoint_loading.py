@@ -1,0 +1,153 @@
+"""OpenAI checkpoint loading paths: TorchScript archive + raw state dict.
+
+No real pretrained weights exist in this image; these tests synthesize a
+tiny torch module with OpenAI CLIP's exact parameter layout, save it both
+as a TorchScript archive (what ``clip.load`` downloads) and a raw
+``torch.save`` state dict, and verify ``load_openai_checkpoint`` restores
+a numerically identical params pytree either way.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+
+from clip_ppo_tpu.models.clip import CLIPConfig
+from clip_ppo_tpu.models.clip.loader import (
+    find_checkpoint,
+    load_clip_model,
+    load_openai_checkpoint,
+)
+
+SMALL = CLIPConfig(
+    embed_dim=16,
+    image_size=32,
+    patch_size=16,
+    vision_width=32,
+    vision_layers=1,
+    vision_heads=1,
+    context_length=8,
+    vocab_size=64,
+    text_width=32,
+    text_heads=1,
+    text_layers=1,
+)
+
+
+def _openai_module(cfg: CLIPConfig) -> torch.nn.Module:
+    """Minimal scriptable module whose state_dict has OpenAI's layout."""
+    import torch.nn as nn
+
+    class Block(nn.Module):
+        def __init__(self, w):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(w)
+            self.ln_2 = nn.LayerNorm(w)
+            self.attn = nn.MultiheadAttention(w, 1)
+            self.mlp = nn.Sequential()
+            self.mlp.add_module("c_fc", nn.Linear(w, 4 * w))
+            self.mlp.add_module("c_proj", nn.Linear(4 * w, w))
+
+        def forward(self, x):
+            return x
+
+    class Tower(nn.Module):
+        def __init__(self, layers, w):
+            super().__init__()
+            self.resblocks = nn.ModuleList([Block(w) for _ in range(layers)])
+
+        def forward(self, x):
+            return x
+
+    class Visual(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, cfg.vision_width, cfg.patch_size,
+                                   stride=cfg.patch_size, bias=False)
+            self.class_embedding = nn.Parameter(torch.randn(cfg.vision_width))
+            self.positional_embedding = nn.Parameter(
+                torch.randn(cfg.num_patches + 1, cfg.vision_width)
+            )
+            self.ln_pre = nn.LayerNorm(cfg.vision_width)
+            self.transformer = Tower(cfg.vision_layers, cfg.vision_width)
+            self.ln_post = nn.LayerNorm(cfg.vision_width)
+            self.proj = nn.Parameter(torch.randn(cfg.vision_width, cfg.embed_dim))
+
+        def forward(self, x):
+            return x
+
+    class CLIP(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.visual = Visual()
+            self.token_embedding = nn.Embedding(cfg.vocab_size, cfg.text_width)
+            self.positional_embedding = nn.Parameter(
+                torch.randn(cfg.context_length, cfg.text_width)
+            )
+            self.transformer = Tower(cfg.text_layers, cfg.text_width)
+            self.ln_final = nn.LayerNorm(cfg.text_width)
+            self.text_projection = nn.Parameter(
+                torch.randn(cfg.text_width, cfg.embed_dim)
+            )
+            self.logit_scale = nn.Parameter(torch.tensor(2.6592))
+
+        def forward(self, x):
+            return x
+
+    torch.manual_seed(0)
+    return CLIP().eval()
+
+
+def test_torchscript_archive_roundtrip(tmp_path):
+    model = _openai_module(SMALL)
+    path = tmp_path / "ViT-Tiny.pt"
+    torch.jit.save(torch.jit.script(model), str(path))
+    params, cfg = load_openai_checkpoint(str(path))
+    assert cfg.vision_width == SMALL.vision_width
+    assert cfg.embed_dim == SMALL.embed_dim
+    sd = model.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["positional_embedding"]),
+        sd["visual.positional_embedding"].numpy(),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["token_embedding"]),
+        sd["token_embedding.weight"].numpy(),
+        rtol=1e-6,
+    )
+    assert float(params["logit_scale"]) == pytest.approx(2.6592, rel=1e-5)
+
+
+def test_raw_state_dict_roundtrip(tmp_path):
+    model = _openai_module(SMALL)
+    path = tmp_path / "raw.pt"
+    torch.save(model.state_dict(), str(path))
+    params, cfg = load_openai_checkpoint(str(path))
+    assert cfg.vision_layers == SMALL.vision_layers
+    blk = params["visual"]["transformer"]["resblocks"][0]
+    sd = model.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(blk["attn"]["in_proj_w"]),
+        sd["visual.transformer.resblocks.0.attn.in_proj_weight"].numpy(),
+        rtol=1e-6,
+    )
+
+
+def test_checkpoint_dir_env(tmp_path, monkeypatch):
+    model = _openai_module(SMALL)
+    path = tmp_path / "ViT-B-32.pt"
+    torch.jit.save(torch.jit.script(model), str(path))
+    monkeypatch.setenv("CLIP_PPO_CHECKPOINT_DIR", str(tmp_path))
+    assert find_checkpoint("ViT-B/32") == str(path)
+    params, cfg = load_clip_model("ViT-B/32", pretrained=True)
+    assert cfg.vision_width == SMALL.vision_width
+
+
+def test_missing_checkpoint_raises(monkeypatch, tmp_path):
+    monkeypatch.setenv("CLIP_PPO_CHECKPOINT_DIR", str(tmp_path))
+    monkeypatch.setenv("HOME", str(tmp_path))  # empty ~/.cache
+    with pytest.raises(FileNotFoundError):
+        load_clip_model("ViT-B/32", pretrained=True)

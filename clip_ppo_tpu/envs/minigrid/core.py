@@ -96,6 +96,11 @@ def parse_env_id(env_id: str) -> EnvParams:
     Supports ``MiniGrid-Empty-NxN-v0``, ``MiniGrid-Empty-Random-NxN-v0``
     and ``MiniGrid-DoorKey-NxN-v0``.
     """
+    if re.match(r"MiniGrid-FourRooms(-v\d+)?$", env_id):
+        # FourRoomsEnv: 19×19, four rooms with one random gap per shared
+        # wall segment, random agent + goal, max_steps=100 (the env the
+        # reference's eval configs reference, `evaluate_algorithm.py:30`).
+        return EnvParams("fourrooms", 19, 19, 100, False, True)
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
         raise ValueError(f"unsupported MiniGrid env id: {env_id!r}")
@@ -116,8 +121,9 @@ def parse_env_id(env_id: str) -> EnvParams:
 # ---------------------------------------------------------------------------
 
 
-def _base_grid(params: EnvParams) -> jax.Array:
-    """Bordered empty grid with the goal in the bottom-right interior cell."""
+def _base_grid(params: EnvParams, goal: bool = True) -> jax.Array:
+    """Bordered empty grid, optionally with the goal in the bottom-right
+    interior cell."""
     w, h = params.width, params.height
     grid = np.zeros((w, h, 3), dtype=np.int8)
     grid[..., 0] = EMPTY
@@ -125,7 +131,8 @@ def _base_grid(params: EnvParams) -> jax.Array:
     grid[w - 1, :, :] = [WALL, GREY, 0]
     grid[:, 0, :] = [WALL, GREY, 0]
     grid[:, h - 1, :] = [WALL, GREY, 0]
-    grid[w - 2, h - 2, :] = [GOAL, GREEN, 0]
+    if goal:
+        grid[w - 2, h - 2, :] = [GOAL, GREEN, 0]
     return jnp.asarray(grid)
 
 
@@ -206,12 +213,61 @@ def _reset_doorkey(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_fourrooms(params: EnvParams, key: jax.Array) -> EnvState:
+    """FourRooms: central cross walls with one gap per half-segment,
+    random goal cell, random agent position/direction."""
+    w, h = params.width, params.height
+    mx, my = w // 2, h // 2
+    k_g1, k_g2, k_g3, k_g4, k_goal, k_agent, k_dir, k_next = jax.random.split(key, 8)
+    grid = _base_grid(params, goal=False)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    wall = jnp.asarray([WALL, GREY, 0], dtype=jnp.int8)
+    cross = (xs == mx) | (ys == my)
+    grid = jnp.where(cross[..., None], wall, grid)
+
+    # One gap per half of each central wall (MiniGrid randomizes the
+    # opening position within each room-to-room segment).
+    gap_y_top = jax.random.randint(k_g1, (), 1, my)            # (mx, y) upper
+    gap_y_bot = jax.random.randint(k_g2, (), my + 1, h - 1)    # (mx, y) lower
+    gap_x_left = jax.random.randint(k_g3, (), 1, mx)           # (x, my) left
+    gap_x_right = jax.random.randint(k_g4, (), mx + 1, w - 1)  # (x, my) right
+    empty_cell = jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8)
+    grid = grid.at[mx, gap_y_top].set(empty_cell)
+    grid = grid.at[mx, gap_y_bot].set(empty_cell)
+    grid = grid.at[gap_x_left, my].set(empty_cell)
+    grid = grid.at[gap_x_right, my].set(empty_cell)
+
+    free = grid[..., 0] == EMPTY
+    goal_pos = _sample_free_cell(k_goal, free)
+    grid = grid.at[goal_pos[0], goal_pos[1]].set(
+        jnp.asarray([GOAL, GREEN, 0], dtype=jnp.int8)
+    )
+    agent_free = free & ~(
+        (xs == goal_pos[0]) & (ys == goal_pos[1])
+    )
+    agent_pos = _sample_free_cell(k_agent, agent_free)
+    agent_dir = jax.random.randint(k_dir, (), 0, 4)
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jnp.int32(agent_dir),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
         return _reset_empty(params, key)
     if params.kind == "doorkey":
         return _reset_doorkey(params, key)
+    if params.kind == "fourrooms":
+        return _reset_fourrooms(params, key)
     raise ValueError(params.kind)
 
 

@@ -161,8 +161,13 @@ class ALEVectorEnv:
 
         self.env_id = env_id
         self.num_envs = num_envs
+        # SAME_STEP autoreset: gymnasium 1.x defaults to NEXT_STEP, where
+        # the post-done step ignores the agent's action and returns a fake
+        # transition — HostTrainer's CleanRL-style rollout (and GAE) assume
+        # the same-step semantics the pure-JAX envs implement.
         self.envs = gym.vector.SyncVectorEnv(
-            [make_ale_env(env_id, i, capture_video, run_name) for i in range(num_envs)]
+            [make_ale_env(env_id, i, capture_video, run_name) for i in range(num_envs)],
+            autoreset_mode=gym.vector.AutoresetMode.SAME_STEP,
         )
         self.num_actions = int(self.envs.single_action_space.n)
 

@@ -159,7 +159,8 @@ def _sq_substep(s: SeaquestState) -> tuple[SeaquestState, jax.Array, jax.Array]:
         ENEMY_SPEED, 0.02, ENEMY_W,
     )
 
-    dx_ = s.diver_x + s.diver_dir * jnp.where(s.diver_active, DIVER_SPEED, 0.0)
+    # diver_dir already encodes ±DIVER_SPEED (set by _spawn_entities).
+    dx_ = s.diver_x + s.diver_dir * jnp.where(s.diver_active, 1.0, 0.0)
     d_off = (dx_ < -DIVER_W - 1) | (dx_ > SCREEN_W + 1)
     d_active = s.diver_active & ~d_off
     dx_, dy_, ddir, d_active = _spawn_entities(
@@ -192,22 +193,19 @@ def _sq_substep(s: SeaquestState) -> tuple[SeaquestState, jax.Array, jax.Array]:
     d_active = jnp.where(can_take, d_active & ~pickup, d_active)
     divers = jnp.minimum(s.divers_held + n_pickup, MAX_DIVERS)
 
-    # -- oxygen & surfacing ----------------------------------------------------
+    # -- oxygen ------------------------------------------------------------------
+    # Drains while submerged, frozen at the surface; banking/penalties are
+    # decided once per agent step in seaquest_step (surface position can't
+    # change within a step, so per-frame checks can't express the "arrival
+    # step is safe, lingering is not" rule).
     at_surface = s.sub_y <= SURFACE_Y
-    oxygen = jnp.where(
-        at_surface, OXYGEN_MAX, s.oxygen - OXYGEN_RATE
-    ).astype(jnp.float32)
-    just_surfaced = at_surface & (s.oxygen < OXYGEN_MAX * 0.98)
-    bank_diver = just_surfaced & (divers > 0)
-    full_rescue = bank_diver & (divers == MAX_DIVERS)
-    reward = reward + jnp.where(bank_diver, 50.0, 0.0)
-    reward = reward + jnp.where(full_rescue, 250.0, 0.0)
-    divers = jnp.where(full_rescue, 0, jnp.where(bank_diver, divers - 1, divers))
-    empty_surface = just_surfaced & (divers == 0) & ~bank_diver & s.surfaced_once
-    surfaced_once = s.surfaced_once | just_surfaced
+    oxygen = jnp.where(at_surface, s.oxygen, s.oxygen - OXYGEN_RATE).astype(
+        jnp.float32
+    )
+    surfaced_once = s.surfaced_once
 
     out_of_air = oxygen <= 0.0
-    life_lost = sub_hit | out_of_air | empty_surface
+    life_lost = sub_hit | out_of_air
     lives = s.lives - jnp.where(life_lost, 1, 0)
 
     # Respawn sub mid-water after a death; keep oxygen full.
@@ -259,8 +257,37 @@ def seaquest_step(
         torp_active=s.torp_active | do_fire,
     )
 
-    reward = jnp.float32(0.0)
-    life_lost = jnp.bool_(False)
+    # -- surface logic (once per agent step) -----------------------------------
+    # Arrival step (oxygen not yet full): refill + bank one diver; the
+    # first arrival of the episode is free even with no divers. Every
+    # FURTHER step spent at the surface keeps banking one diver, and with
+    # none left costs a life — surface camping is never a fixed point.
+    at_surface = s.sub_y <= SURFACE_Y
+    arrival = at_surface & (s.oxygen < OXYGEN_MAX)
+    lingering = at_surface & ~arrival
+    bank = at_surface & (s.divers_held > 0)
+    full_rescue = bank & (s.divers_held == MAX_DIVERS)
+    surf_reward = jnp.where(bank, 50.0, 0.0) + jnp.where(full_rescue, 250.0, 0.0)
+    divers = jnp.where(
+        full_rescue, 0, jnp.where(bank, s.divers_held - 1, s.divers_held)
+    )
+    empty_surface = (
+        (arrival & ~bank & s.surfaced_once) | (lingering & ~bank)
+    )
+    lives = s.lives - jnp.where(empty_surface, 1, 0)
+    s = dataclasses.replace(
+        s,
+        oxygen=jnp.where(at_surface, jnp.float32(OXYGEN_MAX), s.oxygen),
+        divers_held=divers,
+        surfaced_once=s.surfaced_once | at_surface,
+        lives=lives,
+        # Death pushes the sub back to mid-water like the in-frame deaths.
+        sub_y=jnp.where(empty_surface, jnp.float32(SURFACE_Y + 20.0), s.sub_y).astype(jnp.float32),
+        sub_x=jnp.where(empty_surface, (SCREEN_W - SUB_W) / 2.0, s.sub_x).astype(jnp.float32),
+    )
+
+    reward = surf_reward
+    life_lost = empty_surface
     for _ in range(SUBSTEPS):
         s, r, lost = _sq_substep(s)
         reward = reward + r

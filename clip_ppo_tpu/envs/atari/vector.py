@@ -45,9 +45,12 @@ class AtariVecState:
 class AtariVectorEnv(HostVectorEnvMixin):
     """Vectorized pure-JAX Atari (Breakout | Pong), JaxVectorEnv-compatible."""
 
-    def __init__(self, env_id: str, num_envs: int, clip_rewards: bool = True):
+    def __init__(self, env_id: str, num_envs: int, clip_rewards: bool = True,
+                 autoreset: bool = True):
         self.env_id = env_id
         self.num_envs = num_envs
+        # autoreset=False keeps the game-over state (gym adapter contract).
+        self.autoreset = autoreset
         self.params = core.parse_atari_id(env_id)
         self.num_actions = self.params.num_actions
         self.clip_rewards = clip_rewards
@@ -96,24 +99,26 @@ class AtariVectorEnv(HostVectorEnvMixin):
         ep_return = state.episode_return + raw_reward
         ep_length = state.episode_length + core.SUBSTEPS
 
-        # True reset only at game over (EpisodicLife).
-        reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
-        fresh = jax.vmap(lambda k: core.reset(self.params, k))(reset_keys)
+        if self.autoreset:
+            # True reset only at game over (EpisodicLife).
+            reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
+            fresh = jax.vmap(lambda k: core.reset(self.params, k))(reset_keys)
 
-        def pick(a, b):
-            d = game_over.reshape(game_over.shape + (1,) * (a.ndim - 1))
-            return jnp.where(d, a, b)
+            def pick(a, b):
+                d = game_over.reshape(game_over.shape + (1,) * (a.ndim - 1))
+                return jnp.where(d, a, b)
 
-        env = jax.tree_util.tree_map(pick, fresh, env)
+            env = jax.tree_util.tree_map(pick, fresh, env)
 
         frame = jax.vmap(lambda s: core.render(self.params, s))(env)
         frames = jnp.concatenate([state.frames[..., 1:], frame[..., None]], axis=-1)
-        # Fresh games restart the stack from their first frame.
-        frames = jnp.where(
-            game_over.reshape(-1, 1, 1, 1),
-            jnp.repeat(frame[..., None], 4, axis=-1),
-            frames,
-        )
+        if self.autoreset:
+            # Fresh games restart the stack from their first frame.
+            frames = jnp.where(
+                game_over.reshape(-1, 1, 1, 1),
+                jnp.repeat(frame[..., None], 4, axis=-1),
+                frames,
+            )
 
         reward = jnp.sign(raw_reward) if self.clip_rewards else raw_reward
         terminated = episodic_done

@@ -25,7 +25,9 @@ def make_env(env_id: str, seed: int = 0, **kwargs):
     """A single gymnasium.Env over the matching pure-JAX backend."""
     import gymnasium as gym
 
-    vec = make_vector_env(env_id, num_envs=1, **kwargs)
+    # autoreset off: step() must return the TRUE terminal observation with
+    # terminated=True (gymnasium contract); reset() starts the next episode.
+    vec = make_vector_env(env_id, num_envs=1, autoreset=False, **kwargs)
 
     class JaxGymEnv(gym.Env):
         metadata = {"render_modes": ["rgb_array"], "render_fps": 30}

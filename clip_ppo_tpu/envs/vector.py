@@ -57,9 +57,13 @@ class JaxVectorEnv(HostVectorEnvMixin):
       gymnasium-style infos) for API parity with the reference scripts.
     """
 
-    def __init__(self, env_id: str, num_envs: int, obs_size: int = 84):
+    def __init__(self, env_id: str, num_envs: int, obs_size: int = 84,
+                 autoreset: bool = True):
         self.env_id = env_id
         self.num_envs = num_envs
+        # autoreset=False keeps the terminal state in place (the gym
+        # adapter needs the true final observation; gymnasium contract).
+        self.autoreset = autoreset
         self.params = minigrid_core.parse_env_id(env_id)
         if obs_size % minigrid_core.VIEW_SIZE != 0:
             raise ValueError("obs_size must be a multiple of the 7-cell view")
@@ -121,13 +125,14 @@ class JaxVectorEnv(HostVectorEnvMixin):
         ep_return = state.episode_return + reward
         ep_length = state.episode_length + 1
 
-        # Same-step autoreset: finished envs restart immediately; their rng
-        # chain advances because reset() stores a fresh subkey.
-        reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
-        fresh = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(
-            self.params, reset_keys
-        )
-        env = _select(done, fresh, env)
+        if self.autoreset:
+            # Same-step autoreset: finished envs restart immediately; their
+            # rng chain advances because reset() stores a fresh subkey.
+            reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
+            fresh = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(
+                self.params, reset_keys
+            )
+            env = _select(done, fresh, env)
 
         new_state = VecState(
             env=env,

@@ -33,9 +33,13 @@ def _jsonable(value):
             f.name: _jsonable(getattr(value, f.name))
             for f in dataclasses.fields(value)
         }
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
         return [_jsonable(v) for v in value]
-    return value
+    if isinstance(value, (str, int, float, bool)) or value is None:
+        return value
+    return str(value)  # Paths and other odd config values
 
 
 def _checkpointer():
@@ -68,34 +72,58 @@ def save_checkpoint_orbax(
     if b_returns is not None:
         tree["returns"] = np.asarray(b_returns)
 
+    # _jsonable handles dataclasses itself — dataclasses.asdict would
+    # pre-flatten to dicts and strand Enum/Path leaves for json.dumps.
     meta = {
         "iteration": int(iteration),
         "global_step": int(global_step),
-        "args": _jsonable(
-            dataclasses.asdict(args) if dataclasses.is_dataclass(args) else dict(args)
-        ),
+        "args": _jsonable(args if dataclasses.is_dataclass(args) else dict(args)),
         "training_complete": bool(final),
     }
 
+    import os
+    import shutil
+
+    def _write(t: Path) -> None:
+        if t.exists() or t.is_symlink():
+            if t.is_symlink():
+                t.unlink()
+            else:
+                shutil.rmtree(t)
+        ckptr.save(t, tree)
+        ckptr.wait_until_finished()
+        # Atomic metadata write (the orbax dir itself lands via atomic
+        # rename; this closes the metadata side of that window).
+        tmp = t / "metadata.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        os.replace(tmp, t / "metadata.json")
+
     if final:
         path = Path(f"{prefix}_final").absolute()
-        targets = [path]
+        _write(path)
         print(f"Final model saved: {path}")
     else:
         path = Path(f"{prefix}_step_{global_step}").absolute()
+        _write(path)
+        # _latest is a symlink to the step directory (no second
+        # serialization); copy as a fallback for symlink-less filesystems.
         latest = Path(f"{prefix}_latest").absolute()
-        targets = [path, latest]
+        try:
+            tmp_link = latest.with_name(latest.name + ".tmp")
+            if tmp_link.is_symlink() or tmp_link.exists():
+                tmp_link.unlink()
+            tmp_link.symlink_to(path)
+            if latest.is_symlink() or latest.is_file():
+                latest.unlink()
+            elif latest.exists():
+                shutil.rmtree(latest)
+            os.replace(tmp_link, latest)
+        except OSError:
+            if latest.exists():
+                shutil.rmtree(latest)
+            shutil.copytree(path, latest)
         print(f"Model saved at step {global_step}")
-
-    for t in targets:
-        if t.exists():
-            import shutil
-
-            shutil.rmtree(t)
-        ckptr.save(t, tree)
-        ckptr.wait_until_finished()
-        (t / "metadata.json").write_text(json.dumps(meta))
-    return str(targets[0])
+    return str(path)
 
 
 def load_checkpoint_orbax(
@@ -104,31 +132,41 @@ def load_checkpoint_orbax(
     opt_state_template: Any,
     extra_templates: Optional[dict] = None,
 ) -> tuple[dict, Any, int, int, dict]:
-    """Restore (params, opt_state, iteration, global_step, metadata)."""
+    """Restore (params, opt_state, iteration, global_step, metadata).
+
+    Restores the full on-disk tree without a target (so checkpoints that
+    also stored ``returns``/extra models load fine), then maps the
+    agent/optimizer subtrees onto the provided templates' structure.
+    """
     import orbax.checkpoint as ocp
 
     print(f"Loading checkpoint from {path}")
     p = Path(path).absolute()
-    meta = json.loads((p / "metadata.json").read_text())
-    target = {
-        "agent_state": params_template,
-        "optimizer_state": opt_state_template,
-    }
-    if extra_templates:
-        for name, sub in extra_templates.items():
-            target[f"{name}_state"] = sub
-    # Tolerate extra saved subtrees (e.g. returns) via partial restore.
+    meta_path = p / "metadata.json"
+    if not meta_path.exists():
+        raise FileNotFoundError(
+            f"{meta_path} missing — incomplete/torn checkpoint directory"
+        )
+    meta = json.loads(meta_path.read_text())
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(p, target=jax.tree_util.tree_map(np.asarray, target))
+    restored = ckptr.restore(p)
     iteration = meta["iteration"]
     global_step = meta["global_step"]
     print(f"Checkpoint loaded: iteration {iteration}, global_step {global_step}")
     if meta.get("training_complete", False):
         print("Warning: This was a final checkpoint - training was marked as complete")
-    params = jax.tree_util.tree_map(
-        lambda a: jax.numpy.asarray(a), restored["agent_state"]
-    )
-    opt_state = jax.tree_util.tree_map(
-        lambda a: jax.numpy.asarray(a), restored["optimizer_state"]
-    )
+
+    def onto(template, sub):
+        # Structure check + device placement in one tree_map.
+        return jax.tree_util.tree_map(
+            lambda t, a: jax.numpy.asarray(a), template, sub
+        )
+
+    params = onto(params_template, restored["agent_state"])
+    opt_state = onto(opt_state_template, restored["optimizer_state"])
+    if extra_templates:
+        for name in extra_templates:
+            meta.setdefault("extras", {})[name] = onto(
+                extra_templates[name], restored[f"{name}_state"]
+            )
     return params, opt_state, iteration, global_step, meta

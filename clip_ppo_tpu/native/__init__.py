@@ -15,6 +15,8 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
+import uuid
 import warnings
 from pathlib import Path
 from typing import Optional
@@ -28,6 +30,7 @@ _CACHE_DIR = Path(
 
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_build_lock = threading.Lock()
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -36,9 +39,11 @@ def _build() -> Optional[ctypes.CDLL]:
     so_path = _CACHE_DIR / f"fast_bpe-{tag}.so"
     if not so_path.exists():
         _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-        # Per-process tmp name: concurrent cold-cache builds must not race
-        # on one path (interleaved writes could publish a corrupt .so).
-        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}")
+        # Unique tmp name per build attempt: concurrent cold-cache builds
+        # (processes OR threads) must never share a path — interleaved
+        # writes could atomically publish a corrupt .so into the
+        # hash-keyed cache, poisoning every later process.
+        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
         cmd = [
             "gcc", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_SRC),
         ]
@@ -47,6 +52,7 @@ def _build() -> Optional[ctypes.CDLL]:
             os.replace(tmp, so_path)  # atomic publish
         except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
             warnings.warn(f"native fast_bpe build failed ({e}); using Python BPE")
+            tmp.unlink(missing_ok=True)
             return None
     try:
         lib = ctypes.CDLL(str(so_path))
@@ -71,8 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     """The compiled library, building it on first use; None if unavailable."""
     global _lib, _build_failed
     if _lib is None and not _build_failed:
-        _lib = _build()
-        _build_failed = _lib is None
+        with _build_lock:
+            if _lib is None and not _build_failed:
+                _lib = _build()
+                _build_failed = _lib is None
     return _lib
 
 

@@ -71,7 +71,7 @@ class HostTrainer:
         return action, logprob, value, key
 
     def _update(self, params, opt_state, batch, last_obs, last_done,
-                iteration, frozen):
+                iteration, key, frozen):
         next_value = agent_mod.get_value(
             params, last_obs, self.features_fn, frozen
         )
@@ -94,7 +94,6 @@ class HostTrainer:
             else jnp.float32(self.cfg.learning_rate)
         )
         opt_state = ppo_mod.set_learning_rate(opt_state, lr)
-        key = jax.random.fold_in(jax.random.PRNGKey(0), iteration)
         params, opt_state, metrics = ppo_mod.update_epochs(
             params, opt_state, flat, key, self.cfg, self.optimizer,
             self.features_fn, None, 0.0, frozen=frozen,
@@ -173,10 +172,11 @@ class HostTrainer:
             "dones": jnp.asarray(done_buf),
             "values": jnp.asarray(val_buf),
         }
+        key, k_update = jax.random.split(key)
         params, opt_state, scalars = self._jit_update(
             state.params, state.opt_state, batch,
             jnp.asarray(obs), jnp.asarray(next_done),
-            jnp.int32(iteration), self.frozen_params,
+            jnp.int32(iteration), k_update, self.frozen_params,
         )
         scalars = jax.device_get(scalars)
         new_state = HostTrainState(

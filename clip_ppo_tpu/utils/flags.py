@@ -149,13 +149,38 @@ def _set_dotted(overrides: dict, path: str, value: Any) -> None:
     node[parts[-1]] = value
 
 
+def _apply_overrides(instance: Any, overrides: dict) -> Any:
+    """Apply dotted overrides onto an existing dataclass instance
+    (recursing into nested dataclasses) — preserves customized field
+    defaults/default_factory instances like tyro does."""
+    changes = {}
+    hints = _resolve_types(type(instance))
+    for f in dataclasses.fields(type(instance)):
+        if f.name not in overrides:
+            continue
+        tp = hints.get(f.name, f.type)
+        value = overrides[f.name]
+        if dataclasses.is_dataclass(tp) and isinstance(value, dict):
+            changes[f.name] = _apply_overrides(getattr(instance, f.name), value)
+        else:
+            changes[f.name] = value
+    return dataclasses.replace(instance, **changes) if changes else instance
+
+
 def _build(cls: type, overrides: dict) -> Any:
     hints = _resolve_types(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         tp = hints.get(f.name, f.type)
         if dataclasses.is_dataclass(tp):
-            kwargs[f.name] = _build(tp, overrides.get(f.name, {}))
+            # Start from the FIELD default (which may customize the nested
+            # config) rather than the nested class's own defaults.
+            base = _default_of(f)
+            sub = overrides.get(f.name, {})
+            if base is dataclasses.MISSING:
+                kwargs[f.name] = _build(tp, sub)
+            else:
+                kwargs[f.name] = _apply_overrides(base, sub)
         elif f.name in overrides:
             kwargs[f.name] = overrides[f.name]
         else:

@@ -67,3 +67,47 @@ def test_final_flag(tmp_path):
         {"count": jnp.int32(0)},
     )
     assert meta["training_complete"] is True
+
+
+def test_returns_extras_and_enum_args(tmp_path):
+    """Formerly-failing cases: b_returns + extra_models stored alongside,
+    Enum-valued args fields, and restore through the _latest symlink."""
+    import dataclasses
+    from enum import Enum
+
+    class Mode(Enum):
+        A = "A"
+
+    @dataclasses.dataclass
+    class Args:
+        mode: Mode = Mode.A
+        seed: int = 3
+
+    params = _tree(0)
+    opt = {"count": jnp.int32(2)}
+    extra = {"temporal_projection": {"w": jnp.ones((4, 2))}}
+    prefix = str(tmp_path / "run")
+    save_checkpoint_orbax(
+        prefix, params, opt, 5, 5120, Args(),
+        b_returns=np.arange(6.0), extra_models=extra,
+    )
+    p2, o2, it, gs, meta = load_checkpoint_orbax(
+        f"{prefix}_step_5120",
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        {"count": jnp.int32(0)},
+        extra_templates={"temporal_projection": {"w": jnp.zeros((4, 2))}},
+    )
+    assert (it, gs) == (5, 5120)
+    assert meta["args"]["mode"] == "A"
+    np.testing.assert_allclose(
+        np.asarray(meta["extras"]["temporal_projection"]["w"]), np.ones((4, 2))
+    )
+    # _latest (symlink) restores identically and cheaply.
+    p3, _, it3, _, _ = load_checkpoint_orbax(
+        f"{prefix}_latest",
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        {"count": jnp.int32(0)},
+    )
+    assert it3 == 5
+    for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

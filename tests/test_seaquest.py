@@ -115,7 +115,9 @@ def test_surface_empty_after_first_costs_life():
     done = False
     for _ in range(5):
         s, _, d, _ = sq.seaquest_step(s, jnp.int32(2))  # UP to surface
-        done = done or bool(d)
+        if bool(d):
+            done = True
+            break
     assert done
     assert int(s.lives) == sq.LIVES - 1
 

@@ -53,7 +53,7 @@ from clip_ppo_tpu.models.agent import AblationMode, cnn_features
 from clip_ppo_tpu.models.clip import model as clip_model_mod
 from clip_ppo_tpu.models.clip.tokenizer import tokenize
 from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
-from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -152,6 +152,14 @@ class Args:
     resume_checkpoint: str = ""
     """path to checkpoint file to resume training from"""
 
+    # TPU execution arguments (no reference equivalent — single-device there)
+    num_devices: int = 1
+    """data-parallel device count (0 = all available); envs and the PPO
+    batch are sharded across a dp mesh, parameters replicated"""
+    iterations_per_dispatch: int = 8
+    """training iterations fused into one device dispatch (fused paths
+    only; the text modality runs per-iteration around host tokenization)"""
+
     # to be filled in runtime
     batch_size: int = 0
     """the batch size (computed in runtime)"""
@@ -244,6 +252,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if fused_image_path:
         embed_images_fn = clip_utils.make_encode_images_fn(clip_cfg)
 
+    mesh = None
+    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        from clip_ppo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices=n_dev)
+        print(f"Data-parallel over {n_dev} devices ({args.num_envs} envs sharded)")
+
     trainer = Trainer(
         cfg,
         env,
@@ -255,6 +271,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
         frozen_params=frozen_params,
+        mesh=mesh,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
@@ -284,6 +301,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             args.resume_checkpoint, state.params, state.opt_state
         )
         state = dataclasses.replace(state, params=params, opt_state=opt_state)
+        state = trainer.shard_state(state)  # re-lay out on the dp mesh
         start_iteration = it + 1
 
     rand_key = jax.random.PRNGKey(args.seed + 1)
@@ -291,14 +309,18 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     last_returns: list[float] = []
 
     use_split_path = compute_clip and not fused_image_path
-    for iteration in range(start_iteration, args.num_iterations + 1):
+    iteration = start_iteration
+    while iteration <= args.num_iterations:
         if use_split_path:
+            # Host tokenization sits between the two jitted halves, so the
+            # split path runs one iteration per dispatch.
+            k = 1
             state, flat, episode_stats, desc_state = trainer.run_rollout_half(state)
             if cc.ablation_mode == AblationMode.RANDOM_ENCODER:
-                rand_key, k = jax.random.split(rand_key)
+                rand_key, kk = jax.random.split(rand_key)
                 clip_embeddings = clip_utils.generate_clip_embeddings(
                     AblationMode.RANDOM_ENCODER, None, None, cc.clip_modality,
-                    args.batch_size, key=k,
+                    args.batch_size, key=kk,
                 )
             else:  # text modality: host descriptions + tokenization
                 descriptions = minigrid_core.describe_rollout(
@@ -310,52 +332,61 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             state, scalars = trainer.run_update_half(
                 state, flat, iteration, clip_embeddings
             )
+            per_iter = [trainer.fetch_logs(scalars, episode_stats)]
         else:
-            state, scalars, episode_stats = trainer.run_iteration(state, iteration)
-
-        # One packed device→host fetch per iteration (every leaf fetch
-        # pays a full transfer round-trip on tunneled TPU devices).
-        scalars, episode_stats = trainer.fetch_logs(scalars, episode_stats)
-        profiler.step(iteration)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
+            # Fused paths: K iterations per device dispatch, one packed
+            # device→host fetch per chunk, chunk ends aligned to
+            # checkpoint boundaries.
+            k = chunk_length(
+                args.iterations_per_dispatch, iteration, args.num_iterations,
+                global_step, args.batch_size, args.save_freq, args.save_model,
             )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        global_step += args.batch_size
+            state, packed = trainer.run_iterations(state, iteration, k)
+            per_iter = trainer.fetch_logs_chunk(packed)
 
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        # Logged unconditionally like the reference (`clip_ppo_minigrid.py:584`).
-        writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
-        if compute_clip:
-            if args.verbose and iteration % 10 == 1:
-                lam = float(trainer.clip_lambda_eff(jnp.int32(iteration)))
-                print(
-                    f"  [CLIP] iter {iteration}: clip_loss="
-                    f"{float(scalars['clip_loss']):.6f} lambda_eff={lam:.2e}"
+        for offset, (scalars, episode_stats) in enumerate(per_iter):
+            it = iteration + offset
+            profiler.step(it)
+            if recorder is not None:
+                recorder.add_rollout(
+                    np.asarray(episode_stats["env0_frames"]),
+                    np.asarray(episode_stats["env0_dones"]),
                 )
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+            done_mask = np.asarray(episode_stats["done_mask"])
+            ep_ret = np.asarray(episode_stats["episode_return"])
+            ep_len = np.asarray(episode_stats["episode_length"])
+            for t, env_idx in zip(*np.nonzero(done_mask)):
+                step_at = global_step + (int(t) + 1) * args.num_envs
+                r = float(ep_ret[t, env_idx])
+                writer.add_scalar("charts/episodic_return", r, step_at)
+                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+                last_returns.append(r)
+            global_step += args.batch_size
 
+            for tag in (
+                "value_loss", "policy_loss", "entropy", "old_approx_kl",
+                "approx_kl", "clipfrac", "explained_variance",
+            ):
+                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+            # Logged unconditionally like the reference (`clip_ppo_minigrid.py:584`).
+            writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
+            if compute_clip:
+                if args.verbose and it % 10 == 1:
+                    lam = float(trainer.clip_lambda_eff(jnp.int32(it)))
+                    print(
+                        f"  [CLIP] iter {it}: clip_loss="
+                        f"{float(scalars['clip_loss']):.6f} lambda_eff={lam:.2e}"
+                    )
+            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+            sps = int(global_step / (time.time() - start_time))
+            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+            writer.add_scalar("charts/SPS", sps, global_step)
+
+        iteration += k
         if args.save_model and global_step % args.save_freq == 0:
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration, global_step, args,
+                iteration - 1, global_step, args,
             )
 
     if args.save_model:

@@ -29,7 +29,7 @@ from clip_ppo_tpu.io import (
     maybe_init_wandb,
 )
 from clip_ppo_tpu.models import init_agent_params
-from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -90,6 +90,14 @@ class Args:
     target_kl: Optional[float] = None
     """the target KL divergence threshold"""
 
+    # TPU execution arguments (no reference equivalent — single-device there)
+    num_devices: int = 1
+    """data-parallel device count (0 = all available); envs and the PPO
+    batch are sharded across a dp mesh, parameters replicated"""
+    iterations_per_dispatch: int = 8
+    """training iterations fused into one device dispatch (amortizes the
+    host round trip; logging/checkpoint semantics are unchanged)"""
+
     # to be filled in runtime
     batch_size: int = 0
     """the batch size (computed in runtime)"""
@@ -135,9 +143,18 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         max_grad_norm=args.max_grad_norm,
         target_kl=args.target_kl,
     )
+    mesh = None
+    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        from clip_ppo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices=n_dev)
+        print(f"Data-parallel over {n_dev} devices ({args.num_envs} envs sharded)")
+
     trainer = Trainer(
         cfg, env, num_iterations=args.num_iterations,
         capture_env0=args.capture_video,
+        mesh=mesh,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=4
@@ -148,39 +165,49 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     start_time = time.time()
     last_returns: list[float] = []
 
-    for iteration in range(1, args.num_iterations + 1):
-        state, scalars, episode_stats = trainer.run_iteration(state, iteration)
+    iteration = 1
+    while iteration <= args.num_iterations:
+        # K iterations per device dispatch, one packed host fetch per chunk
+        # (every leaf fetch pays a round trip on tunneled TPU devices).
+        # ppo_atari has no checkpointing (like the reference), so chunks
+        # only cap at the final iteration.
+        k = chunk_length(
+            args.iterations_per_dispatch, iteration, args.num_iterations,
+            global_step, args.batch_size, save_freq=1, save_model=False,
+        )
+        state, packed = trainer.run_iterations(state, iteration, k)
+        per_iter = trainer.fetch_logs_chunk(packed)
 
-        # One packed device→host fetch per iteration (every leaf fetch
-        # pays a full transfer round-trip on tunneled TPU devices).
-        scalars, episode_stats = trainer.fetch_logs(scalars, episode_stats)
-        profiler.step(iteration)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
-            )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            print(f"global_step={step_at}, episodic_return={r}")
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        global_step += args.batch_size
+        for offset, (scalars, episode_stats) in enumerate(per_iter):
+            it = iteration + offset
+            profiler.step(it)
+            if recorder is not None:
+                recorder.add_rollout(
+                    np.asarray(episode_stats["env0_frames"]),
+                    np.asarray(episode_stats["env0_dones"]),
+                )
+            done_mask = np.asarray(episode_stats["done_mask"])
+            ep_ret = np.asarray(episode_stats["episode_return"])
+            ep_len = np.asarray(episode_stats["episode_length"])
+            for t, env_idx in zip(*np.nonzero(done_mask)):
+                step_at = global_step + (int(t) + 1) * args.num_envs
+                r = float(ep_ret[t, env_idx])
+                print(f"global_step={step_at}, episodic_return={r}")
+                writer.add_scalar("charts/episodic_return", r, step_at)
+                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+                last_returns.append(r)
+            global_step += args.batch_size
 
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+            for tag in (
+                "value_loss", "policy_loss", "entropy", "old_approx_kl",
+                "approx_kl", "clipfrac", "explained_variance",
+            ):
+                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+            sps = int(global_step / (time.time() - start_time))
+            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+            writer.add_scalar("charts/SPS", sps, global_step)
+        iteration += k
 
     profiler.close()
     if recorder is not None:

@@ -34,7 +34,7 @@ from clip_ppo_tpu.io import (
 )
 from clip_ppo_tpu.models import init_agent_params
 from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
-from clip_ppo_tpu.train import PPOConfig, Trainer
+from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -109,6 +109,14 @@ class Args:
     disturbance_severity: str = "MILD"
     """disturbance severity level: MILD, MODERATE, SEVERE"""
 
+    # TPU execution arguments (no reference equivalent — single-device there)
+    num_devices: int = 1
+    """data-parallel device count (0 = all available); envs and the PPO
+    batch are sharded across a dp mesh, parameters replicated"""
+    iterations_per_dispatch: int = 8
+    """training iterations fused into one device dispatch (amortizes the
+    host round trip; logging/checkpoint semantics are unchanged)"""
+
     # to be filled in runtime
     batch_size: int = 0
     """the batch size (computed in runtime)"""
@@ -164,6 +172,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     else:
         print("Disturbances disabled")
 
+    mesh = None
+    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    if n_dev > 1:
+        from clip_ppo_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices=n_dev)
+        print(f"Data-parallel over {n_dev} devices ({args.num_envs} envs sharded)")
+
     trainer = Trainer(
         cfg,
         env,
@@ -171,6 +187,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         disturbance=disturbance,
         disturbance_semantics="per_image",
         capture_env0=args.capture_video,
+        mesh=mesh,
     )
     params = init_agent_params(
         jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
@@ -187,44 +204,53 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     last_returns = []
     b_returns = None
 
-    for iteration in range(1, args.num_iterations + 1):
-        state, scalars, episode_stats = trainer.run_iteration(state, iteration)
+    iteration = 1
+    while iteration <= args.num_iterations:
+        # K iterations per device dispatch: one host round trip per chunk,
+        # chunk ends aligned to checkpoint boundaries (chunk_length).
+        k = chunk_length(
+            args.iterations_per_dispatch, iteration, args.num_iterations,
+            global_step, args.batch_size, args.save_freq, args.save_model,
+        )
+        state, packed = trainer.run_iterations(state, iteration, k)
+        # One packed device→host fetch per chunk (every leaf fetch pays a
+        # full transfer round-trip on tunneled TPU devices).
+        per_iter = trainer.fetch_logs_chunk(packed)
 
-        # Host-side logging (the only device→host traffic per iteration).
-        # One packed device→host fetch per iteration (every leaf fetch
-        # pays a full transfer round-trip on tunneled TPU devices).
-        scalars, episode_stats = trainer.fetch_logs(scalars, episode_stats)
-        profiler.step(iteration)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
-            )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        global_step += args.batch_size
+        for offset, (scalars, episode_stats) in enumerate(per_iter):
+            it = iteration + offset
+            profiler.step(it)
+            if recorder is not None:
+                recorder.add_rollout(
+                    np.asarray(episode_stats["env0_frames"]),
+                    np.asarray(episode_stats["env0_dones"]),
+                )
+            done_mask = np.asarray(episode_stats["done_mask"])
+            ep_ret = np.asarray(episode_stats["episode_return"])
+            ep_len = np.asarray(episode_stats["episode_length"])
+            for t, env_idx in zip(*np.nonzero(done_mask)):
+                step_at = global_step + (int(t) + 1) * args.num_envs
+                r = float(ep_ret[t, env_idx])
+                writer.add_scalar("charts/episodic_return", r, step_at)
+                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+                last_returns.append(r)
+            global_step += args.batch_size
 
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+            for tag in (
+                "value_loss", "policy_loss", "entropy", "old_approx_kl",
+                "approx_kl", "clipfrac", "explained_variance",
+            ):
+                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+            sps = int(global_step / (time.time() - start_time))
+            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+            writer.add_scalar("charts/SPS", sps, global_step)
 
+        iteration += k
         if args.save_model and global_step % args.save_freq == 0:
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration, global_step, args,
+                iteration - 1, global_step, args,
             )
 
     if args.save_model:

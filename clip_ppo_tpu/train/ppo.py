@@ -183,6 +183,7 @@ def update_epochs(
     clip_embeddings: Optional[jax.Array] = None,
     clip_lambda_eff: jax.Array | float = 0.0,
     frozen=None,
+    axis_name: Optional[str] = None,
 ) -> tuple[dict, Any, UpdateMetrics]:
     """Run ``update_epochs × num_minibatches`` PPO steps as nested scans.
 
@@ -190,6 +191,14 @@ def update_epochs(
     logprobs, advantages, returns, values. Metrics mirror what the
     reference logs: losses from the *last* minibatch, clipfrac averaged
     over all minibatches (`ppo_minigrid.py:357-366`).
+
+    With ``axis_name`` set (data-parallel under ``shard_map``), ``batch``
+    is the device-local shard and ``cfg`` describes the local sizes;
+    gradients and metrics are ``pmean``'d across the axis each minibatch,
+    so every device applies identical parameter updates and the
+    params/opt_state stay replicated. Advantage normalization uses local
+    minibatch statistics (standard DP-PPO practice; the estimator stays
+    unbiased and dp=1 reduces to the reference exactly).
     """
     clip_lambda_eff = jnp.asarray(clip_lambda_eff, jnp.float32)
     grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
@@ -202,6 +211,11 @@ def update_epochs(
             params, mb, cfg, features_fn, clip_embeddings_mb(mb),
             clip_lambda_eff, use_clip, frozen,
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axis_name), aux
+            )
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

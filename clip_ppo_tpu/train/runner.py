@@ -12,6 +12,7 @@ stays fully in-graph because the CLIP image encoder is device compute.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -51,6 +52,11 @@ class Trainer:
         clip_lambda: target λ for the alignment loss (warmup applied here,
             `clip_ppo_utils.py:26-46`).
         clip_warmup_fraction: fraction of iterations for linear λ warmup.
+        mesh: optional ``jax.sharding.Mesh`` with a ``dp`` axis. When given,
+            environments and the PPO batch are sharded across ``dp`` while
+            parameters/optimizer state are replicated; GSPMD inserts the
+            gradient all-reduces over ICI (SURVEY §2c DP plan — the
+            reference is single-device, `ppo_minigrid.py:195`).
     """
 
     def __init__(
@@ -66,10 +72,26 @@ class Trainer:
         clip_warmup_fraction: float = 0.2,
         capture_env0: bool = False,
         frozen_params: Any = None,
+        mesh: Any = None,
     ):
         self.cfg = cfg
         self.env = env
         self.num_iterations = num_iterations
+        self.mesh = mesh
+        if mesh is not None:
+            assert cfg.num_envs % mesh.shape["dp"] == 0, (
+                f"num_envs={cfg.num_envs} not divisible by "
+                f"dp={mesh.shape['dp']}"
+            )
+            local_batch = (cfg.num_envs // mesh.shape["dp"]) * cfg.num_steps
+            assert local_batch % cfg.num_minibatches == 0, (
+                f"per-device batch {local_batch} not divisible by "
+                f"num_minibatches={cfg.num_minibatches}"
+            )
+            if frozen_params is not None:
+                from clip_ppo_tpu.parallel.mesh import replicate_tree
+
+                frozen_params = replicate_tree(mesh, frozen_params)
         self.disturbance = disturbance
         self.disturbance_semantics = disturbance_semantics
         self.features_fn = features_fn
@@ -92,6 +114,8 @@ class Trainer:
         self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
         self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
         self._jit_update_half = jax.jit(self._update_half, donate_argnums=(0,))
+        self._jit_chunks: dict[int, Callable] = {}
+        self._scalar_key_order: Optional[tuple[str, ...]] = None
 
     # -- initialization ------------------------------------------------------
 
@@ -100,13 +124,38 @@ class Trainer:
         key, k_env = jax.random.split(key)
         vec_state, obs = self.env.reset_fn(k_env)
         opt_state = self.optimizer.init(params)
-        return TrainState(
+        state = TrainState(
             params=params,
             opt_state=opt_state,
             vec_state=vec_state,
             obs=obs,
             next_done=jnp.zeros(self.env.num_envs, jnp.float32),
             key=key,
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Lay the carry out on the dp mesh: env state + batch axes sharded,
+        params / optimizer / PRNG key replicated. Explicit input shardings
+        are enough — GSPMD propagates them through the jitted iteration and
+        inserts the gradient all-reduces. No-op without a mesh, so callers
+        (e.g. checkpoint resume) may call it unconditionally."""
+        if self.mesh is None:
+            return state
+        from clip_ppo_tpu.parallel.mesh import (
+            batch_sharding,
+            replicate_tree,
+            shard_env_state,
+        )
+
+        return dataclasses.replace(
+            state,
+            params=replicate_tree(self.mesh, state.params),
+            opt_state=replicate_tree(self.mesh, state.opt_state),
+            vec_state=shard_env_state(self.mesh, state.vec_state),
+            obs=jax.device_put(state.obs, batch_sharding(self.mesh)),
+            next_done=jax.device_put(state.next_done, batch_sharding(self.mesh)),
+            key=replicate_tree(self.mesh, state.key),
         )
 
     def clip_lambda_eff(self, iteration: jax.Array) -> jax.Array:
@@ -171,12 +220,18 @@ class Trainer:
         )
         opt_state = ppo_mod.set_learning_rate(state.opt_state, lr)
         key, k_update = jax.random.split(state.key)
-        params, opt_state, metrics = ppo_mod.update_epochs(
-            state.params, opt_state, flat, k_update, self.cfg, self.optimizer,
-            self.features_fn, clip_embeddings,
-            self.clip_lambda_eff(iteration),
-            frozen=frozen,
-        )
+        if self.mesh is None:
+            params, opt_state, metrics = ppo_mod.update_epochs(
+                state.params, opt_state, flat, k_update, self.cfg, self.optimizer,
+                self.features_fn, clip_embeddings,
+                self.clip_lambda_eff(iteration),
+                frozen=frozen,
+            )
+        else:
+            params, opt_state, metrics = self._update_sharded(
+                state.params, opt_state, flat, k_update, clip_embeddings,
+                self.clip_lambda_eff(iteration), frozen,
+            )
         state = dataclasses.replace(
             state, params=params, opt_state=opt_state, key=key
         )
@@ -194,6 +249,41 @@ class Trainer:
             "clip_loss": metrics.clip_loss,
         }
         return state, scalars
+
+    def _update_sharded(self, params, opt_state, flat, key, clip_embeddings,
+                        lam, frozen):
+        """Data-parallel PPO update as one `shard_map` over the ``dp`` axis.
+
+        Each device permutes and minibatches its LOCAL batch shard
+        (sharded-gather-free — a global `v[perm]` over a dp-sharded batch
+        forces GSPMD into cross-device gathers every epoch), and gradients
+        are `pmean`'d per minibatch so parameter updates stay replicated.
+        At dp=1 this reduces to the replicated update exactly.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.mesh.shape["dp"]
+        local_cfg = dataclasses.replace(self.cfg, num_envs=self.cfg.num_envs // dp)
+
+        def body(params, opt_state, flat, key, clip_embeddings, lam, frozen):
+            if dp > 1:  # decorrelate per-device shuffles (identity at dp=1
+                # so dp=1 reduces to the reference update bit-for-bit)
+                key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            return ppo_mod.update_epochs(
+                params, opt_state, flat, key, local_cfg, self.optimizer,
+                self.features_fn, clip_embeddings, lam, frozen=frozen,
+                axis_name="dp",
+            )
+
+        rep, sh = P(), P("dp")
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(rep, rep, sh, rep,
+                      rep if clip_embeddings is None else sh, rep, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False,
+        )(params, opt_state, flat, key, clip_embeddings, lam, frozen)
 
     def _iteration(self, state: TrainState, iteration: jax.Array, frozen):
         state, batch = self._rollout(state, frozen)
@@ -220,16 +310,66 @@ class Trainer:
         """Fused path: the whole iteration is one device program."""
         return self._jit_iteration(state, jnp.int32(iteration), self.frozen_params)
 
+    # -- chunked path (K iterations per host dispatch) -------------------------
+
+    def _chunk(self, state: TrainState, start_iteration: jax.Array, frozen, *, k: int):
+        """``k`` full training iterations as one `lax.scan`d device program.
+
+        Per-iteration logs are packed on device and stacked, so the host
+        pays ONE dispatch + ONE fetch round trip per ``k`` iterations
+        instead of per iteration — on tunneled TPUs the round trip
+        (0.05–0.5 s) dominates the 1.8 ms iteration, making this the whole
+        wall-clock story (reference metric: SPS, `ppo_minigrid.py:365-366`).
+        """
+
+        def body(state, offset):
+            state, scalars, episode_stats = self._iteration(
+                state, start_iteration + offset, frozen
+            )
+            return state, self._pack_logs(scalars, episode_stats)
+
+        return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+
+    def run_iterations(self, state: TrainState, start_iteration: int, k: int):
+        """Run iterations ``start_iteration .. start_iteration+k-1`` in one
+        dispatch. Returns (state, packed_logs) — unpack the logs with
+        :meth:`fetch_logs_chunk`. Compiles once per distinct ``k``."""
+        fn = self._jit_chunks.get(k)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._chunk, k=k), donate_argnums=(0,))
+            self._jit_chunks[k] = fn
+        return fn(state, jnp.int32(start_iteration), self.frozen_params)
+
+    def fetch_logs_chunk(self, packed) -> list:
+        """One packed device→host fetch for a whole chunk; returns a list of
+        per-iteration ``(scalars_np, stats_np)`` pairs matching
+        :meth:`fetch_logs` output."""
+        sc, ep, video, dones0 = jax.device_get(packed)
+        keys = self._scalar_key_order
+        out = []
+        for i in range(sc.shape[0]):
+            scalars_np = {name: sc[i, j] for j, name in enumerate(keys)}
+            stats_np = {
+                "done_mask": ep[i, 0].astype(bool),
+                "episode_return": ep[i, 1],
+                "episode_length": ep[i, 2].astype(np.int32),
+            }
+            if video is not None:
+                stats_np["env0_frames"] = np.asarray(video[i])
+                stats_np["env0_dones"] = np.asarray(dones0[i]).astype(bool)
+            out.append((scalars_np, stats_np))
+        return out
+
     # -- host log fetch --------------------------------------------------------
 
-    @staticmethod
-    def _pack_logs(scalars: dict, episode_stats: dict):
+    def _pack_logs(self, scalars: dict, episode_stats: dict):
         """Pack the per-iteration log pytrees into at most three arrays.
 
         Each device→host fetch pays a full round trip (severe on tunneled
         TPUs: ~0.1-0.5 s per LEAF observed), so the ~13 small log leaves
         are packed on device and fetched as 2-3 buffers.
         """
+        self._scalar_key_order = tuple(sorted(scalars))
         sc = jnp.stack(
             [scalars[k].astype(jnp.float32) for k in sorted(scalars)]
         )
@@ -281,3 +421,28 @@ class Trainer:
         return self._jit_update_half(
             state, flat, jnp.int32(iteration), clip_embeddings, self.frozen_params
         )
+
+
+def chunk_length(
+    k: int,
+    iteration: int,
+    num_iterations: int,
+    global_step: int,
+    batch_size: int,
+    save_freq: int,
+    save_model: bool,
+) -> int:
+    """Cap a dispatch chunk so it never crosses a checkpoint boundary.
+
+    The reference saves when ``global_step % save_freq == 0``
+    (`clip_ppo_minigrid.py:589`) — which, since global_step advances by
+    batch_size per iteration, only ever fires when save_freq is a multiple
+    of batch_size (the divisibility quirk, SURVEY §3.1). Aligning chunk
+    ends to those boundaries keeps chunked dispatch checkpoint-exact.
+    """
+    k = min(k, num_iterations - iteration + 1)
+    if save_model and save_freq % batch_size == 0:
+        per = save_freq // batch_size
+        done = global_step // batch_size
+        k = min(k, per - (done % per))
+    return max(k, 1)

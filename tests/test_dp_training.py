@@ -1,0 +1,120 @@
+"""Data-parallel mesh training through the user-facing Trainer path.
+
+VERDICT r1 item 1: multi-chip DP training must be reachable via
+``Trainer(mesh=...)`` (and the CLIs' ``--num-devices``), not only the
+driver dryrun. Validated here on the 8-virtual-device CPU mesh (SURVEY §4
+test strategy): chunked dispatch reproduces the sequential path, dp=1
+reduces to the unsharded update bit-for-bit, and dp=8 actually *learns*
+while keeping parameters replicated across devices.
+
+The reference has no distributed training at all (SURVEY §2c); the update
+semantics under dp>1 are documented in `train/runner.py:_update_sharded`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from clip_ppo_tpu.envs import JaxVectorEnv
+from clip_ppo_tpu.models import init_agent_params
+from clip_ppo_tpu.parallel.mesh import make_mesh
+from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
+
+TINY = PPOConfig(num_envs=8, num_steps=8, num_minibatches=2, update_epochs=2)
+
+
+def _collect(mesh, chunked: bool, iterations: int = 2):
+    env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", TINY.num_envs)
+    trainer = Trainer(TINY, env, num_iterations=iterations, mesh=mesh)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=3)
+    state = trainer.init_state(params, seed=0)
+    logs = []
+    if chunked:
+        state, packed = trainer.run_iterations(state, 1, iterations)
+        logs = trainer.fetch_logs_chunk(packed)
+    else:
+        for it in range(1, iterations + 1):
+            state, scalars, ep = trainer.run_iteration(state, it)
+            logs.append(trainer.fetch_logs(scalars, ep))
+    return logs, state
+
+
+@pytest.fixture(scope="module")
+def sequential_logs():
+    return _collect(mesh=None, chunked=False)[0]
+
+
+def _assert_scalars_match(logs_a, logs_b, rtol=1e-5, atol=1e-7):
+    assert len(logs_a) == len(logs_b)
+    for (sa, ea), (sb, eb) in zip(logs_a, logs_b):
+        assert set(sa) == set(sb)
+        for k in sa:
+            np.testing.assert_allclose(
+                sa[k], sb[k], rtol=rtol, atol=atol, err_msg=k, equal_nan=True
+            )
+        np.testing.assert_array_equal(ea["done_mask"], eb["done_mask"])
+        np.testing.assert_allclose(ea["episode_return"], eb["episode_return"])
+
+
+def test_chunked_dispatch_matches_sequential(sequential_logs):
+    """K iterations per dispatch must be a pure batching change: identical
+    per-iteration scalars and episode stats."""
+    chunked, _ = _collect(mesh=None, chunked=True)
+    _assert_scalars_match(sequential_logs, chunked)
+
+
+def test_dp1_mesh_matches_unsharded(sequential_logs):
+    """A 1-device mesh routes through shard_map + pmean but must reduce to
+    the reference update exactly (same permutation keys, same numerics)."""
+    dp1, _ = _collect(mesh=make_mesh(num_devices=1), chunked=True)
+    _assert_scalars_match(sequential_logs, dp1, rtol=1e-5, atol=1e-6)
+
+
+def test_chunk_length_save_alignment():
+    # save_freq a multiple of batch_size: chunks must end on save boundaries.
+    # batch=1024, save every 4096 steps → every 4 iterations.
+    assert chunk_length(8, 1, 100, 0, 1024, 4096, True) == 4
+    assert chunk_length(8, 5, 100, 4096, 1024, 4096, True) == 4
+    assert chunk_length(2, 1, 100, 0, 1024, 4096, True) == 2
+    # The reference's divisibility quirk (SURVEY §3.1): a save_freq that is
+    # NOT a multiple of batch_size never fires, so chunks are uncapped.
+    assert chunk_length(8, 1, 100, 0, 1024, 100000, True) == 8
+    # Never overruns the final iteration; always at least 1.
+    assert chunk_length(8, 98, 100, 0, 1024, 100000, True) == 3
+    assert chunk_length(8, 100, 100, 0, 1024, 4096, True) == 1
+    # save_model off: only the tail cap applies.
+    assert chunk_length(8, 1, 100, 0, 1024, 4096, False) == 8
+
+
+def test_dp8_trains_and_stays_replicated():
+    """dp=8 end-to-end training on the CPU mesh: the policy learns
+    Empty-5x5 (VERDICT r1 'learns at dp=8'), and after 28 iterations the
+    parameters are still bit-identical on every device."""
+    cfg = PPOConfig(
+        num_envs=8, num_steps=16, num_minibatches=4, update_epochs=4,
+        learning_rate=1e-3,
+    )
+    env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", cfg.num_envs)
+    mesh = make_mesh(num_devices=8)
+    trainer = Trainer(cfg, env, num_iterations=28, mesh=mesh)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=3)
+    state = trainer.init_state(params, seed=0)
+
+    early, late = [], []
+    for start, sink in ((1, early), (15, late)):
+        state, packed = trainer.run_iterations(state, start, 14)
+        for _, stats in trainer.fetch_logs_chunk(packed):
+            r = stats["episode_return"][stats["done_mask"]]
+            sink.extend(np.asarray(r).tolist())
+
+    assert len(late) > len(early), "episode completion rate should rise"
+    assert np.mean(late) > 0.5, f"late mean return {np.mean(late):.3f}"
+    assert np.mean(late) > np.mean(early) + 0.2
+
+    # Replication invariant: every device holds identical parameters.
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == 8
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

@@ -157,6 +157,12 @@ class Args:
     iterations_per_dispatch: int = 8
     """training iterations fused into one device dispatch (fused paths
     only; the text modality runs per-iteration around host tokenization)"""
+    env_backend: str = "jax"
+    """'jax' = pure-JAX device envs (whole iteration is one XLA program);
+    'ale' = the host-side emulator through the exact reference wrapper
+    stack with per-frame disturbances, RAM descriptions, CLIP loss and
+    temporal-projection checkpointing (requires ale_py, or a registered
+    ALE-compatible env id such as the FakeALE/Breakout-v5 CI stub)"""
 
     # to be filled in runtime
     batch_size: int = 0
@@ -193,8 +199,6 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
 
     random.seed(args.seed)
     np.random.seed(args.seed)
-
-    env = AtariVectorEnv(args.env_id, args.num_envs)
 
     compute_clip = clip_utils.should_compute_clip_loss(cc.ablation_mode, cc.clip_lambda)
     clip_params, clip_cfg = (None, None)
@@ -247,6 +251,22 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         # frame before concat, `clip_ppo_atari.py:272-299`).
         embed_images_fn = clip_utils.make_multiframe_embed_fn(clip_cfg)
 
+    if args.env_backend == "ale":
+        result = _train_ale(
+            args, cfg, run_name, writer, recorder, profiler,
+            compute_clip=compute_clip,
+            clip_params=clip_params, clip_cfg=clip_cfg,
+            frozen_params=frozen_params, features_fn=features_fn,
+            embed_images_fn=embed_images_fn, disturbance=disturbance,
+            needs_projection=needs_projection,
+        )
+        profiler.close()
+        if recorder is not None:
+            recorder.close()
+        writer.close()
+        return result
+
+    env = AtariVectorEnv(args.env_id, args.num_envs)
     mesh = None
     n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
     if n_dev > 1:
@@ -371,11 +391,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             ):
                 writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
             writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
-            if compute_clip and args.verbose and it % 10 == 1:
-                lam = float(trainer.clip_lambda_eff(jnp.int32(it)))
-                print(
-                    f"  [CLIP] iter {it}: clip_loss="
-                    f"{float(scalars['clip_loss']):.6f} lambda_eff={lam:.2e}"
+            if compute_clip and args.verbose:
+                clip_utils.verbose_debug_print(
+                    it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
                 )
             writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
             sps = int(global_step / (time.time() - start_time))
@@ -400,6 +418,147 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         recorder.close()
     env.close()
     writer.close()
+    return {
+        "global_step": global_step,
+        "sps": global_step / (time.time() - start_time),
+        "recent_returns": last_returns[-100:],
+        "run_name": run_name,
+    }
+
+
+def _train_ale(
+    args: Args,
+    cfg: PPOConfig,
+    run_name: str,
+    writer,
+    recorder,
+    profiler,
+    *,
+    compute_clip: bool,
+    clip_params,
+    clip_cfg,
+    frozen_params,
+    features_fn,
+    embed_images_fn,
+    disturbance,
+    needs_projection: bool,
+) -> dict:
+    """Host-emulator backend: the reference's flagship loop over the real
+    ALE wrapper stack (`clip_ppo_atari.py:465-789`) with per-frame
+    disturbances applied on device, RAM-based text descriptions from live
+    emulator state, CLIP alignment with the exact gradient topology, and
+    temporal-projection checkpointing."""
+    from clip_ppo_tpu.envs.atari.ale_adapter import ALEVectorEnv
+    from clip_ppo_tpu.train import HostTrainer
+
+    cc = args.clip_config
+    env = ALEVectorEnv(args.env_id, args.num_envs, run_name=run_name)
+    frame_fn = env.frame_env0 if (args.capture_video and recorder is not None) else None
+    trainer = HostTrainer(
+        cfg, env, num_iterations=args.num_iterations,
+        features_fn=features_fn, frozen_params=frozen_params,
+        disturbance=disturbance, disturbance_semantics="stack_frames",
+        embed_images_fn=embed_images_fn, clip_lambda=cc.clip_lambda,
+        frame_fn=frame_fn,
+    )
+    params = init_agent_params(
+        jax.random.PRNGKey(args.seed), env.num_actions,
+        in_channels=4, with_temporal_projection=needs_projection,
+    )
+    state = trainer.init_state(params, args.seed)
+
+    encode_tokens = None
+    if compute_clip and cc.clip_modality == "text" \
+            and cc.ablation_mode != AblationMode.RANDOM_ENCODER:
+        _encode = jax.jit(
+            lambda cp, toks: clip_utils.l2_normalize(
+                clip_model_mod.encode_text(cp, clip_cfg, toks)
+            )
+        )
+        encode_tokens = lambda toks: _encode(clip_params, toks)
+
+    checkpoint_path = None
+    if args.save_model:
+        os.makedirs(args.model_path, exist_ok=True)
+        checkpoint_path = os.path.join(args.model_path, run_name)
+
+    start_iteration = 1
+    global_step = 0
+    if args.resume_checkpoint:
+        params, opt_state, it, global_step, _ = load_checkpoint(
+            args.resume_checkpoint, state.params, state.opt_state
+        )
+        state = dataclasses.replace(state, params=params, opt_state=opt_state)
+        start_iteration = it + 1
+
+    rand_key = jax.random.PRNGKey(args.seed + 1)
+    start_time = time.time()
+    last_returns: list[float] = []
+    for iteration in range(start_iteration, args.num_iterations + 1):
+        state, batch, episodes, extras = trainer.run_rollout(state)
+
+        # Pre-compute CLIP embeddings once per iteration from the CURRENT
+        # game state, tiled across steps like the reference's
+        # ``i % num_envs`` cycling (`clip_ppo_atari.py:642-670`). The
+        # image modality encodes inside the jitted update instead.
+        clip_embeddings = None
+        if compute_clip and embed_images_fn is None:
+            if cc.ablation_mode == AblationMode.RANDOM_ENCODER:
+                rand_key, kk = jax.random.split(rand_key)
+                if cc.clip_modality == "image":
+                    emb = clip_utils.generate_clip_embeddings(
+                        AblationMode.RANDOM_ENCODER, None, None, "image",
+                        args.batch_size * 4, key=kk,
+                    )
+                    clip_embeddings = emb.reshape(args.batch_size, -1)
+                else:
+                    clip_embeddings = clip_utils.generate_clip_embeddings(
+                        AblationMode.RANDOM_ENCODER, None, None, "text",
+                        args.batch_size, key=kk,
+                    )
+            else:
+                descs = env.describe()
+                descriptions = descs * args.num_steps  # index t·N+n → env n
+                clip_embeddings = encode_tokens(jnp.asarray(tokenize(descriptions)))
+
+        state, scalars = trainer.run_update(state, batch, iteration, clip_embeddings)
+
+        profiler.step(iteration)
+        if recorder is not None and extras:
+            recorder.add_rollout(extras["env0_frames"], extras["env0_dones"])
+        for r, length, t in episodes:
+            step_at = global_step + (t + 1) * args.num_envs
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", length, step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
+        if compute_clip and args.verbose:
+            clip_utils.verbose_debug_print(
+                iteration, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
+            )
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+        if args.save_model and global_step % args.save_freq == 0:
+            save_checkpoint(
+                checkpoint_path, state.params, state.opt_state,
+                iteration, global_step, args,
+            )
+
+    if args.save_model:
+        save_checkpoint(
+            checkpoint_path, state.params, state.opt_state,
+            args.num_iterations, global_step, args, final=True,
+        )
+    env.close()
     return {
         "global_step": global_step,
         "sps": global_step / (time.time() - start_time),

@@ -97,6 +97,11 @@ class Args:
     iterations_per_dispatch: int = 8
     """training iterations fused into one device dispatch (amortizes the
     host round trip; logging/checkpoint semantics are unchanged)"""
+    env_backend: str = "jax"
+    """'jax' = pure-JAX device envs (whole iteration is one XLA program);
+    'ale' = the host-side emulator through the exact reference wrapper
+    stack (requires ale_py, or a registered ALE-compatible env id such as
+    the FakeALE/Breakout-v5 CI stub)"""
 
     # to be filled in runtime
     batch_size: int = 0
@@ -125,7 +130,6 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
-    env = AtariVectorEnv(args.env_id, args.num_envs)
     cfg = PPOConfig(
         learning_rate=args.learning_rate,
         num_envs=args.num_envs,
@@ -143,6 +147,16 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         max_grad_norm=args.max_grad_norm,
         target_kl=args.target_kl,
     )
+
+    if args.env_backend == "ale":
+        result = _train_ale(args, cfg, run_name, writer, recorder, profiler)
+        profiler.close()
+        if recorder is not None:
+            recorder.close()
+        writer.close()
+        return result
+
+    env = AtariVectorEnv(args.env_id, args.num_envs)
     mesh = None
     n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
     if n_dev > 1:
@@ -214,6 +228,58 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         recorder.close()
     env.close()
     writer.close()
+    return {
+        "global_step": global_step,
+        "sps": global_step / (time.time() - start_time),
+        "recent_returns": last_returns[-100:],
+        "run_name": run_name,
+    }
+
+
+def _train_ale(args: Args, cfg: PPOConfig, run_name: str, writer, recorder,
+               profiler) -> dict:
+    """Host-emulator backend: the reference loop shape over the exact ALE
+    wrapper stack (`ppo_atari.py:154-337`), jitted policy/update on device
+    (`clip_ppo_tpu.train.HostTrainer`)."""
+    from clip_ppo_tpu.envs.atari.ale_adapter import ALEVectorEnv
+    from clip_ppo_tpu.train import HostTrainer
+
+    env = ALEVectorEnv(args.env_id, args.num_envs, run_name=run_name)
+    frame_fn = env.frame_env0 if (args.capture_video and recorder is not None) else None
+    trainer = HostTrainer(
+        cfg, env, num_iterations=args.num_iterations, frame_fn=frame_fn
+    )
+    params = init_agent_params(
+        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=4
+    )
+    state = trainer.init_state(params, args.seed)
+
+    global_step = 0
+    start_time = time.time()
+    last_returns: list[float] = []
+    for iteration in range(1, args.num_iterations + 1):
+        state, scalars, episodes, extras = trainer.run_iteration(state, iteration)
+        profiler.step(iteration)
+        if recorder is not None and extras:
+            recorder.add_rollout(extras["env0_frames"], extras["env0_dones"])
+        for r, length, t in episodes:
+            step_at = global_step + (t + 1) * args.num_envs
+            print(f"global_step={step_at}, episodic_return={r}")
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", length, step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+    env.close()
     return {
         "global_step": global_step,
         "sps": global_step / (time.time() - start_time),

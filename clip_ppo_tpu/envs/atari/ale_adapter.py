@@ -29,12 +29,31 @@ def ale_available() -> bool:
         return False
 
 
-def _require_ale():
-    if not ale_available():
+def _ensure_ale(env_id: str):
+    """Make ``env_id`` resolvable: register ale_py's envs when installed,
+    the fake-ALE stub for ``FakeALE/*`` ids, and accept any id already in
+    gymnasium's registry (an ALE-compatible env someone registered
+    themselves). Raises an informative ImportError otherwise."""
+    import gymnasium as gym
+
+    if env_id.startswith("FakeALE/"):
+        from clip_ppo_tpu.envs.atari import fake_ale
+
+        fake_ale.register()
+        return
+    try:
+        import ale_py
+
+        gym.register_envs(ale_py)
+    except ImportError:
+        if env_id in gym.registry:
+            return
         raise ImportError(
-            "ale_py is not installed; the pure-JAX Breakout/Pong backend "
+            f"ale_py is not installed and {env_id!r} is not registered "
+            "with gymnasium; the pure-JAX Breakout/Pong backend "
             "(clip_ppo_tpu.envs.atari.core) is the default. Install "
-            "ale_py + gymnasium[atari] to use the emulator adapter."
+            "ale_py + gymnasium[atari] to use the emulator adapter, or "
+            "use the 'FakeALE/Breakout-v5' CI stub."
         )
 
 
@@ -53,11 +72,8 @@ def make_ale_env(
     Grayscale → FrameStack(4). gymnasium's AtariPreprocessing covers
     Noop/MaxSkip/Resize/Grayscale with the same semantics; EpisodicLife,
     FireReset and ClipReward come from its wrappers module."""
-    _require_ale()
-    import ale_py
+    _ensure_ale(env_id)
     import gymnasium as gym
-
-    gym.register_envs(ale_py)
 
     def thunk():
         if capture_video and idx == 0:
@@ -156,7 +172,7 @@ class ALEVectorEnv:
 
     def __init__(self, env_id: str, num_envs: int, capture_video: bool = False,
                  run_name: str = ""):
-        _require_ale()
+        _ensure_ale(env_id)
         import gymnasium as gym
 
         self.env_id = env_id
@@ -182,10 +198,21 @@ class ALEVectorEnv:
 
     def step(self, actions: np.ndarray):
         obs, reward, terminated, truncated, infos = self.envs.step(actions)
+        # Lift SAME_STEP-mode episode statistics to the vectorized
+        # ``infos["episode"]["_r"]`` format the reference CLIP scripts (and
+        # HostTrainer) consume (`clip_ppo_atari.py:602-616`).
+        fi = infos.get("final_info")
+        if fi and "episode" in fi:
+            infos = dict(infos, episode=fi["episode"])
         return self._to_nhwc(obs), reward, terminated, truncated, infos
 
     def close(self):
         self.envs.close()
+
+    def frame_env0(self) -> np.ndarray:
+        """Current RGB screen of env 0 (for host-side video capture when
+        moviepy-backed RecordVideo is unavailable)."""
+        return np.asarray(self.envs.envs[0].unwrapped.ale.getScreenRGB())
 
     def describe(self, _state=None) -> list[str]:
         """RAM-based descriptions with the reference's addresses and phrase

@@ -1,0 +1,224 @@
+"""Fake ALE: a tiny Breakout-like gymnasium env exposing the ALE host API.
+
+The real emulator adapter (`clip_ppo_tpu.envs.atari.ale_adapter`) is
+import-gated on ``ale_py``, which is absent in CI — leaving the exact
+wrapper stack and the HostTrainer CLIP path with zero executed coverage.
+This module provides a minimal stand-in that speaks the ALE *interface*
+the adapter stack consumes (`atari_wrappers.py` behaviors via gymnasium's
+`AtariPreprocessing`, which calls ``env.unwrapped.ale.getScreenGrayscale/
+getScreenRGB/lives`` and requires ``_frameskip == 1``), plus the Breakout
+RAM addresses the description generator reads
+(`clip_ppo_atari.py:302-367`: score digits at RAM[36-38], ball at
+(RAM[99], RAM[101]), paddle at RAM[72], lives at RAM[57]&0x7).
+
+Register with :func:`register` and use env id ``FakeALE/Breakout-v5``
+with ``--env-backend ale``; the adapter accepts any gymnasium-registered
+ALE-compatible id without importing ale_py.
+
+The game itself: a 210x160 RGB paddle/ball/bricks toy with FIRE-to-serve,
+five lives, and per-brick score — enough structure that NOOP-heavy
+policies lose and paddle-tracking policies score, so training signal is
+real (if simple).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FAKE_ENV_ID = "FakeALE/Breakout-v5"
+
+# playfield geometry (screen coords, 210 rows x 160 cols)
+_WALL = 8
+_PADDLE_Y = 189
+_PADDLE_W = 16
+_PADDLE_H = 4
+_BRICK_TOP = 57
+_BRICK_ROWS = 6
+_BRICK_H = 6
+_BRICK_W = 8
+_BRICK_COLS = (160 - 2 * _WALL) // _BRICK_W  # 18
+_ROW_COLORS = (  # classic Breakout row colors, top to bottom
+    (200, 72, 72), (198, 108, 58), (180, 122, 48),
+    (162, 162, 42), (72, 160, 72), (66, 72, 200),
+)
+
+
+class _FakeALEInterface:
+    """The slice of ``ale_py.ALEInterface`` the wrapper stack touches."""
+
+    def __init__(self, env: "FakeBreakoutEnv"):
+        self._env = env
+
+    def lives(self) -> int:
+        return self._env._lives
+
+    def getScreenRGB(self, out: np.ndarray | None = None) -> np.ndarray:
+        screen = self._env._render_screen()
+        if out is not None:
+            out[...] = screen
+            return out
+        return screen
+
+    def getScreenGrayscale(self, out: np.ndarray | None = None) -> np.ndarray:
+        screen = self._env._render_screen()
+        # ALE's grayscale is the luma of the RGB screen.
+        gray = (screen.astype(np.uint16) @ np.array([299, 587, 114])) // 1000
+        gray = gray.astype(np.uint8)
+        if out is not None:
+            out[...] = gray
+            return out
+        return gray
+
+    def getRAM(self) -> np.ndarray:
+        e = self._env
+        ram = np.zeros(128, np.uint8)
+        score = min(e._score, 999)
+        ram[36] = score // 100          # adapter reads digits:
+        ram[37] = (score // 10) % 10    # r[36]*100 + r[37]*10 + r[38]
+        ram[38] = score % 10
+        ram[99] = int(np.clip(e._ball_x, 0, 255))
+        ram[101] = int(np.clip(e._ball_y, 0, 255))
+        ram[72] = int(np.clip(e._paddle_x, 0, 255))
+        ram[57] = e._lives & 0x7
+        return ram
+
+
+class FakeBreakoutEnv:
+    """Instantiated via gymnasium's registry (see :func:`register`)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 60}
+
+    def __new__(cls, render_mode=None, frameskip=1):
+        import gymnasium as gym
+
+        outer_render_mode, outer_frameskip = render_mode, frameskip
+
+        class _Env(gym.Env):
+            metadata = cls.metadata
+
+            def __init__(self, render_mode=None, frameskip=1):
+                self.render_mode = render_mode
+                self._frameskip = frameskip  # AtariPreprocessing checks == 1
+                self.observation_space = gym.spaces.Box(
+                    0, 255, (210, 160, 3), np.uint8
+                )
+                self.action_space = gym.spaces.Discrete(4)
+                self.ale = _FakeALEInterface(self)
+                self._lives = 5
+                self._score = 0
+                self._paddle_x = 80
+                self._ball_x = 80.0
+                self._ball_y = float(_PADDLE_Y - 2)
+                self._vx = 0.0
+                self._vy = 0.0
+                self._launched = False
+                self._serve_timer = 0
+                self._bricks = np.ones((_BRICK_ROWS, _BRICK_COLS), bool)
+
+            def get_action_meanings(self):
+                return ["NOOP", "FIRE", "RIGHT", "LEFT"]
+
+            # -- dynamics ------------------------------------------------
+
+            def _serve(self):
+                self._launched = True
+                direction = 1.0 if self.np_random.random() < 0.5 else -1.0
+                self._vx = 1.5 * direction
+                self._vy = -2.0
+                self._serve_timer = 0
+
+            def step(self, action):
+                reward = 0.0
+                if action == 2:   # RIGHT
+                    self._paddle_x = min(152 - _PADDLE_W // 2, self._paddle_x + 4)
+                elif action == 3:  # LEFT
+                    self._paddle_x = max(_WALL + _PADDLE_W // 2, self._paddle_x - 4)
+                if not self._launched:
+                    self._ball_x = float(self._paddle_x)
+                    self._ball_y = float(_PADDLE_Y - 2)
+                    self._serve_timer += 1
+                    # FIRE serves; auto-serve keeps NOOP policies playing
+                    # (the real game also force-serves after a delay).
+                    if action == 1 or self._serve_timer > 60:
+                        self._serve()
+                else:
+                    self._ball_x += self._vx
+                    self._ball_y += self._vy
+                    if self._ball_x <= _WALL or self._ball_x >= 160 - _WALL:
+                        self._vx = -self._vx
+                        self._ball_x = float(np.clip(self._ball_x, _WALL, 160 - _WALL))
+                    if self._ball_y <= 32:
+                        self._vy = abs(self._vy)
+                    # brick collisions
+                    row = int((self._ball_y - _BRICK_TOP) // _BRICK_H)
+                    col = int((self._ball_x - _WALL) // _BRICK_W)
+                    if (0 <= row < _BRICK_ROWS and 0 <= col < _BRICK_COLS
+                            and self._bricks[row, col]):
+                        self._bricks[row, col] = False
+                        self._score += 7 - row  # top rows worth more
+                        reward = float(7 - row)
+                        self._vy = abs(self._vy)  # bounce downward
+                    # paddle collision
+                    if (self._vy > 0 and _PADDLE_Y - 2 <= self._ball_y <= _PADDLE_Y + _PADDLE_H
+                            and abs(self._ball_x - self._paddle_x) <= _PADDLE_W // 2 + 1):
+                        self._vy = -abs(self._vy)
+                        # english: hit offset steers the ball
+                        self._vx += 0.25 * np.sign(self._ball_x - self._paddle_x)
+                        self._vx = float(np.clip(self._vx, -2.5, 2.5))
+                    # ball lost
+                    if self._ball_y > 208:
+                        self._lives -= 1
+                        self._launched = False
+                        self._serve_timer = 0
+                if not self._bricks.any():  # cleared — fresh wall
+                    self._bricks[...] = True
+                terminated = self._lives <= 0
+                obs = self._render_screen()
+                return obs, reward, terminated, False, {}
+
+            def reset(self, *, seed=None, options=None):
+                super().reset(seed=seed)
+                self._lives = 5
+                self._score = 0
+                self._paddle_x = 80
+                self._launched = False
+                self._serve_timer = 0
+                self._ball_x = float(self._paddle_x)
+                self._ball_y = float(_PADDLE_Y - 2)
+                self._bricks[...] = True
+                return self._render_screen(), {}
+
+            def render(self):
+                if self.render_mode == "rgb_array":
+                    return self._render_screen()
+                return None
+
+            def _render_screen(self) -> np.ndarray:
+                s = np.zeros((210, 160, 3), np.uint8)
+                s[:, :_WALL] = s[:, -_WALL:] = s[:32, :] = (142, 142, 142)
+                for r in range(_BRICK_ROWS):
+                    y0 = _BRICK_TOP + r * _BRICK_H
+                    for c in np.nonzero(self._bricks[r])[0]:
+                        x0 = _WALL + int(c) * _BRICK_W
+                        s[y0:y0 + _BRICK_H - 1, x0:x0 + _BRICK_W - 1] = _ROW_COLORS[r]
+                px = int(self._paddle_x)
+                s[_PADDLE_Y:_PADDLE_Y + _PADDLE_H,
+                  max(0, px - _PADDLE_W // 2):px + _PADDLE_W // 2] = (200, 72, 72)
+                bx, by = int(self._ball_x), int(self._ball_y)
+                s[max(0, by - 2):by + 2, max(0, bx - 1):bx + 1] = (200, 72, 72)
+                return s
+
+        return _Env(render_mode=outer_render_mode, frameskip=outer_frameskip)
+
+
+def register() -> str:
+    """Idempotently register :data:`FAKE_ENV_ID` with gymnasium."""
+    import gymnasium as gym
+
+    if FAKE_ENV_ID not in gym.registry:
+        gym.register(
+            id=FAKE_ENV_ID,
+            entry_point=FakeBreakoutEnv,
+            max_episode_steps=2000,  # raw frames; 500 agent steps at skip-4
+        )
+    return FAKE_ENV_ID

@@ -1,0 +1,178 @@
+"""The emulator adapter path, executed end-to-end via the fake-ALE stub.
+
+Without ale_py the exact wrapper stack (`atari_wrappers.py` behaviors via
+gymnasium) and the HostTrainer CLIP path would have zero executed
+coverage; ``FakeALE/Breakout-v5`` (a Breakout-like toy speaking the ALE
+host interface) lets the adapter, the `--env-backend ale` CLI branches,
+disturbances, RAM descriptions, CLIP alignment and checkpointing all run
+in CI.
+"""
+
+import glob
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_clip_ppo_atari import tiny_clip_loader  # noqa: F401 (fixture)
+
+FAKE_ID = "FakeALE/Breakout-v5"
+
+
+# -- env + adapter ------------------------------------------------------------
+
+
+def test_fake_env_speaks_ale_interface():
+    import gymnasium as gym
+
+    from clip_ppo_tpu.envs.atari import fake_ale
+
+    fake_ale.register()
+    env = gym.make(FAKE_ID, frameskip=1)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (210, 160, 3) and obs.dtype == np.uint8
+    ale = env.unwrapped.ale
+    assert ale.lives() == 5
+    ram = ale.getRAM()
+    assert ram.shape == (128,) and ram[57] & 0x7 == 5
+    gray = ale.getScreenGrayscale()
+    assert gray.shape == (210, 160)
+    buf = np.empty((210, 160), np.uint8)
+    assert ale.getScreenGrayscale(buf) is buf
+    assert env.unwrapped.get_action_meanings()[0] == "NOOP"
+    assert "FIRE" in env.unwrapped.get_action_meanings()
+    env.close()
+
+
+def test_fake_game_scores_and_loses_lives():
+    """A paddle-tracking policy scores; lives eventually run out and the
+    adapter reports real (game-over) episode statistics."""
+    from clip_ppo_tpu.envs.atari.ale_adapter import ALEVectorEnv
+
+    env = ALEVectorEnv(FAKE_ID, 2)
+    obs, _ = env.reset(seed=0)
+    rng = np.random.default_rng(0)
+    total_r, n_eps = 0.0, 0
+    for _ in range(2000):
+        a = rng.integers(0, env.num_actions, 2)
+        obs, r, term, trunc, infos = env.step(a)
+        total_r += float(np.sum(r))
+        if "episode" in infos:
+            n_eps += int(np.sum(infos["episode"]["_r"]))
+    assert obs.shape == (2, 84, 84, 4)
+    assert total_r > 0, "random play should hit at least one brick"
+    assert n_eps > 0, "five lives should run out within 2000 steps"
+    descs = env.describe()
+    assert len(descs) == 2 and all("Breakout" in d for d in descs)
+    assert env.frame_env0().shape == (210, 160, 3)
+    env.close()
+
+
+def test_fake_env_rejects_pong_descriptions():
+    from clip_ppo_tpu.envs.atari import fake_ale
+    from clip_ppo_tpu.envs.atari.ale_adapter import _ensure_ale
+
+    fake_ale.register()
+    _ensure_ale(FAKE_ID)  # idempotent
+    with pytest.raises(ImportError):
+        _ensure_ale("ALE/DoesNotExist-v5")
+
+
+# -- CLI: vanilla PPO over the emulator stack ---------------------------------
+
+
+def test_ppo_atari_ale_backend(tmp_path, monkeypatch):
+    from clip_ppo_tpu.cli import ppo_atari
+
+    monkeypatch.chdir(tmp_path)
+    args = ppo_atari.Args(
+        env_id=FAKE_ID, env_backend="ale", total_timesteps=32,
+        num_envs=2, num_steps=8, num_minibatches=2, update_epochs=1,
+        capture_video=True,
+    )
+    out = ppo_atari.train(args, run_name="fake_ppo")
+    assert out["global_step"] == 32
+    assert (tmp_path / "runs" / "fake_ppo").exists()
+
+
+# -- CLI: the flagship CLIP-PPO path over the emulator stack ------------------
+
+
+def _ale_args(tmp_path, **clip_overrides):
+    from clip_ppo_tpu.cli.clip_ppo_atari import Args, AtariClipPPOConfig
+
+    return Args(
+        env_id=FAKE_ID, env_backend="ale", total_timesteps=32,
+        num_envs=2, num_steps=8, num_minibatches=2, update_epochs=1,
+        capture_video=False, verbose=False,
+        model_path=str(tmp_path / "ckpt"),
+        clip_config=AtariClipPPOConfig(**clip_overrides),
+    )
+
+
+def test_clip_ppo_atari_ale_full_parity(tmp_path, monkeypatch, tiny_clip_loader):  # noqa: F811
+    """`clip_ppo_atari --env-backend ale` end-to-end: disturbances +
+    image-modality CLIP loss + temporal_projection checkpoint + severity
+    TB text tag (VERDICT r1 item 3 acceptance)."""
+    from clip_ppo_tpu.cli import clip_ppo_atari
+
+    monkeypatch.chdir(tmp_path)
+    args = _ale_args(
+        tmp_path,
+        clip_lambda=1e-5, clip_modality="image",
+        apply_disturbances=True, disturbance_severity="SEVERE",
+    )
+    out = clip_ppo_atari.train(args, run_name="fake_clip_img")
+    assert out["global_step"] == 32
+
+    finals = glob.glob(str(tmp_path / "ckpt" / "*_final.ckpt"))
+    assert len(finals) == 1
+    with open(finals[0], "rb") as f:
+        ckpt = pickle.load(f)
+    assert "temporal_projection" in ckpt["agent_state"]
+    assert ckpt["agent_state"]["temporal_projection"]["w"].shape == (2048, 512)
+
+    # severity text tag + clip_loss scalar present in the TB event files
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    from clip_ppo_tpu.metrics.calculate_metrics import get_disturbance_severity
+    from clip_ppo_tpu.ops import DisturbanceSeverity
+
+    run_dir = str(tmp_path / "runs" / "fake_clip_img")
+    assert get_disturbance_severity(run_dir) == DisturbanceSeverity.SEVERE
+    acc = EventAccumulator(run_dir)
+    acc.Reload()
+    tags = acc.Tags()["scalars"]
+    assert "losses/clip_loss" in tags and "charts/SPS" in tags
+
+
+def test_clip_ppo_atari_ale_text_modality(tmp_path, monkeypatch, tiny_clip_loader):  # noqa: F811
+    """Text modality over the emulator: RAM-read descriptions → tokenize →
+    text encoder, once per iteration (`clip_ppo_atari.py:642-670`)."""
+    from clip_ppo_tpu.cli import clip_ppo_atari
+
+    monkeypatch.chdir(tmp_path)
+    args = _ale_args(tmp_path, clip_lambda=1e-5, clip_modality="text")
+    out = clip_ppo_atari.train(args, run_name="fake_clip_txt")
+    assert out["global_step"] == 32
+
+
+def test_clip_ppo_atari_ale_resume(tmp_path, monkeypatch, tiny_clip_loader):  # noqa: F811
+    """Checkpoint resume on the ale backend restores iteration/global_step."""
+    from clip_ppo_tpu.cli import clip_ppo_atari
+
+    monkeypatch.chdir(tmp_path)
+    args = _ale_args(tmp_path, clip_lambda=1e-5, clip_modality="image")
+    clip_ppo_atari.train(args, run_name="fake_resume_a")
+    final = glob.glob(str(tmp_path / "ckpt" / "*_final.ckpt"))[0]
+
+    args2 = _ale_args(tmp_path, clip_lambda=1e-5, clip_modality="image")
+    args2.total_timesteps = 64
+    args2.resume_checkpoint = final
+    out = clip_ppo_atari.train(args2, run_name="fake_resume_b")
+    # resumed at iteration 3 of 4 → two more iterations → 32 + 32 new steps
+    assert out["global_step"] == 64

@@ -1,12 +1,14 @@
 """HostTrainer: PPO over host-API envs (the ALE adapter's training path).
 
 Driven with the pure-JAX envs' host API standing in for the emulator —
-same reset/step/infos contract as ALEVectorEnv.
+same reset/step/infos contract as ALEVectorEnv. The fake-ALE emulator
+stack itself is exercised in tests/test_fake_ale.py.
 """
 
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from clip_ppo_tpu.envs import AtariVectorEnv, JaxVectorEnv
 from clip_ppo_tpu.models import init_agent_params
@@ -22,15 +24,16 @@ def test_host_trainer_minigrid():
     p0 = np.asarray(st.params["actor"]["w"]).copy()
     total_eps = 0
     for it in range(1, 4):
-        st, scalars, episodes = tr.run_iteration(st, it)
+        st, scalars, episodes, _extras = tr.run_iteration(st, it)
         total_eps += len(episodes)
         for tag in ("policy_loss", "value_loss", "entropy", "approx_kl"):
             assert np.isfinite(float(scalars[tag]))
     assert not np.allclose(p0, np.asarray(st.params["actor"]["w"]))
     # 5x5 Empty truncates at 100 steps, so with 2 envs × 48 steps some
-    # episodes can finish; episode tuples are (return, length) floats/ints.
-    for r, l in [e for e in [episodes[-1]] if episodes]:
-        assert isinstance(r, float) and isinstance(l, int)
+    # episodes can finish; tuples are (return, length, rollout_step).
+    for r, length, t in episodes:
+        assert isinstance(r, float) and isinstance(length, int)
+        assert 0 <= t < cfg.num_steps
 
 
 def test_host_trainer_atari_host_api():
@@ -39,9 +42,38 @@ def test_host_trainer_atari_host_api():
     tr = HostTrainer(cfg, env, num_iterations=2)
     params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=4)
     st = tr.init_state(params, seed=0)
-    st, scalars, _ = tr.run_iteration(st, 1)
+    st, scalars, _, _ = tr.run_iteration(st, 1)
     assert np.isfinite(float(scalars["policy_loss"]))
     assert st.obs.shape == (2, 84, 84, 4)
+
+
+def test_host_trainer_disturbance_changes_stored_obs():
+    """With disturbances on, the stored rollout obs differ from the raw
+    env obs (applied before storing/acting, `clip_ppo_atari.py:568-584`),
+    while the carried state.obs stays raw for the bootstrap."""
+    from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
+
+    env1 = AtariVectorEnv("ALE/Pong-v5", 2)
+    env2 = AtariVectorEnv("ALE/Pong-v5", 2)
+    cfg = PPOConfig(num_envs=2, num_steps=4, num_minibatches=2, update_epochs=1)
+    params = init_agent_params(jax.random.PRNGKey(0), env1.num_actions, in_channels=4)
+
+    clean = HostTrainer(cfg, env1, num_iterations=2)
+    st_c = clean.init_state(params, seed=0)
+    _, batch_c, _, _ = clean.run_rollout(st_c)
+
+    tr = HostTrainer(
+        cfg, env2, num_iterations=2,
+        disturbance=resolve_params(DisturbanceSeverity.SEVERE),
+        disturbance_semantics="stack_frames",
+    )
+    st = tr.init_state(params, seed=0)
+    raw_first_obs = st.obs.copy()
+    new_st, batch, _, _ = tr.run_rollout(st)
+    stored = np.asarray(batch["obs"][0])
+    assert not np.array_equal(stored, raw_first_obs), "step-0 obs not disturbed"
+    # bootstrap obs is the raw post-rollout observation (not disturbed)
+    assert np.array_equal(np.asarray(batch["last_obs"]), new_st.obs)
 
 
 def test_host_matches_device_trainer_losses():
@@ -61,8 +93,61 @@ def test_host_matches_device_trainer_losses():
 
     host = HostTrainer(cfg, env2, num_iterations=2)
     hst = host.init_state(jax.tree_util.tree_map(lambda x: x.copy(), params), seed=0)
-    hst, hsc, _ = host.run_iteration(hst, 1)
+    hst, hsc, _, _ = host.run_iteration(hst, 1)
 
     assert abs(float(dsc["learning_rate"]) - float(hsc["learning_rate"])) < 1e-9
     for tag in ("policy_loss", "value_loss", "entropy"):
         assert np.isfinite(float(hsc[tag])) and np.isfinite(float(dsc[tag]))
+
+
+def test_host_trainer_projected_clip_trains_only_projection():
+    """Image-modality CLIP loss on the host path: gradient reaches only
+    ``temporal_projection`` (`clip_ppo_atari.py:726-733`). Compare a run
+    with λ=0 against λ huge: all params except temporal_projection get
+    identical updates."""
+    from clip_ppo_tpu.models import clip_utils
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import init_clip_params
+
+    tiny = CLIPConfig(
+        embed_dim=512, image_size=224, patch_size=56, vision_width=64,
+        vision_layers=1, vision_heads=2, context_length=77,
+        vocab_size=49408, text_width=64, text_heads=2, text_layers=1,
+    )
+    clip_params = init_clip_params(jax.random.PRNGKey(1), tiny)
+    embed_fn = clip_utils.make_multiframe_embed_fn(tiny)
+
+    def run(lam):
+        env = AtariVectorEnv("ALE/Breakout-v5", 2)
+        # huge max_grad_norm: global-norm clipping would otherwise couple
+        # the CLIP gradient into every param's rescale factor
+        cfg = PPOConfig(num_envs=2, num_steps=8, num_minibatches=2,
+                        update_epochs=1, clip_mode="projected",
+                        max_grad_norm=1e9)
+        tr = HostTrainer(
+            cfg, env, num_iterations=2,
+            frozen_params={"clip": clip_params},
+            embed_images_fn=embed_fn, clip_lambda=lam,
+            clip_warmup_fraction=0.0,
+        )
+        params = init_agent_params(
+            jax.random.PRNGKey(0), env.num_actions, in_channels=4,
+            with_temporal_projection=True,
+        )
+        st = tr.init_state(params, seed=0)
+        st, scalars, _, _ = tr.run_iteration(st, 1)
+        return st.params, scalars
+
+    p0, s0 = run(0.0)
+    p1, s1 = run(10.0)
+    # The gated-on first minibatch computes a real cosine loss (the
+    # last-minibatch "clip_loss" scalar is 0 when the gate is off, same
+    # as the reference's logged variable), and the huge λ moves ONLY the
+    # projection.
+    assert float(s1["first_clip_loss"]) > 0
+    same = lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert same(p0["trunk"]["conv1"]["w"], p1["trunk"]["conv1"]["w"])
+    assert same(p0["actor"]["w"], p1["actor"]["w"])
+    assert not same(
+        p0["temporal_projection"]["w"], p1["temporal_projection"]["w"]
+    ), "CLIP gradient must reach temporal_projection"

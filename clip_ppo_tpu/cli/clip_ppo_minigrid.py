@@ -73,6 +73,12 @@ class MiniGridClipPPOConfig(clip_utils.ClipPPOConfig):
     """start with clean environment by default"""
     disturbance_severity: str = "MODERATE"
     """moderate disturbances work well for MiniGrid"""
+    structured_frozen_init: bool = False
+    """FROZEN_CLIP only, no reference equivalent: when no pretrained
+    checkpoint exists, distill the frozen tower on device to pixel-PCA
+    features of random-policy observations before training, so the
+    ablation's actor/critic heads have learnable features (a random-init
+    frozen ViT does not; see models/distill.py)"""
 
 
 @dataclass
@@ -206,6 +212,22 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     clip_params, clip_cfg = (None, None)
     if compute_clip or cc.ablation_mode == AblationMode.FROZEN_CLIP:
         clip_params, clip_cfg = clip_utils.load_clip_model(cc.clip_model)
+
+    if (
+        cc.ablation_mode == AblationMode.FROZEN_CLIP
+        and cc.structured_frozen_init
+    ):
+        from clip_ppo_tpu.models import distill
+
+        print("Distilling frozen tower to pixel-PCA features...")
+        obs_samples = distill.collect_random_observations(
+            env, jax.random.PRNGKey(args.seed + 2),
+            num_steps=max(256 // args.num_envs, 8),
+        )
+        clip_params = distill.distill_visual_tower(
+            jax.random.PRNGKey(args.seed + 3), clip_params, clip_cfg,
+            obs_samples,
+        )
 
     # Frozen CLIP weights are threaded through TrainState.frozen as
     # {"clip": ...}; the feature/embedding fns never close over them.
@@ -370,13 +392,10 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
             # Logged unconditionally like the reference (`clip_ppo_minigrid.py:584`).
             writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
-            if compute_clip:
-                if args.verbose and it % 10 == 1:
-                    lam = float(trainer.clip_lambda_eff(jnp.int32(it)))
-                    print(
-                        f"  [CLIP] iter {it}: clip_loss="
-                        f"{float(scalars['clip_loss']):.6f} lambda_eff={lam:.2e}"
-                    )
+            if compute_clip and args.verbose:
+                clip_utils.verbose_debug_print(
+                    it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
+                )
             writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
             sps = int(global_step / (time.time() - start_time))
             print(f"iteration {it}/{args.num_iterations} SPS: {sps}")

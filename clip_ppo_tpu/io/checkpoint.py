@@ -44,6 +44,14 @@ def _backend(backend: Optional[str]) -> str:
     return backend or os.environ.get("CLIP_PPO_CKPT_BACKEND", "pickle")
 
 
+def _ext() -> str:
+    """Checkpoint file extension — ``.ckpt`` by default; set
+    ``CLIP_PPO_CKPT_EXT=.pt`` for reference-identical filenames
+    (`checkpoint_utils.py:37-46` writes ``*.pt``). The payload is a plain
+    pickle either way (not a torch zipfile), so only the name changes."""
+    return os.environ.get("CLIP_PPO_CKPT_EXT", ".ckpt")
+
+
 def save_checkpoint(
     prefix: str,
     params: dict,
@@ -81,13 +89,14 @@ def save_checkpoint(
             if tree is not None:
                 checkpoint[f"{name}_state"] = _to_numpy(tree)
 
+    ext = _ext()
     if final:
-        filename = f"{prefix}_final.ckpt"
+        filename = f"{prefix}_final{ext}"
         print(f"Final model saved: {filename}")
     else:
-        filename = f"{prefix}_step_{global_step}.ckpt"
+        filename = f"{prefix}_step_{global_step}{ext}"
         print(f"Model saved at step {global_step}")
-        with open(f"{prefix}_latest.ckpt", "wb") as f:
+        with open(f"{prefix}_latest{ext}", "wb") as f:
             pickle.dump(checkpoint, f)
 
     with open(filename, "wb") as f:

@@ -237,6 +237,27 @@ def make_multiframe_embed_fn(cfg: CLIPConfig, compute_dtype=jnp.bfloat16):
     return embed
 
 
+def verbose_debug_print(
+    iteration: int,
+    clip_lambda: float,
+    ent_coef: float,
+    vf_coef: float,
+    scalars: dict,
+) -> None:
+    """The reference's per-iteration verbose loss debug block, printed for
+    the first minibatch of the first epoch (`clip_ppo_minigrid.py:546-552`)
+    using the un-warmed λ exactly as the reference does."""
+    pg = float(scalars["first_pg_loss"])
+    v = float(scalars["first_v_loss"])
+    ent = float(scalars["first_entropy"])
+    cl = float(scalars["first_clip_loss"])
+    print(f"Iter {iteration}")
+    print(f"Weighted CLIP loss: {clip_lambda * cl:>15.10f}")
+    print(f"PPO loss:           {pg:>15.10f}")
+    print(f"Combined loss: {pg - ent_coef * ent + v * vf_coef + clip_lambda * cl:.6f}")
+    print("---")
+
+
 @dataclasses.dataclass
 class ClipPPOConfig:
     """Shared CLIP-PPO flags (`clip_ppo_utils.py:220-240`)."""

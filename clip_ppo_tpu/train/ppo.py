@@ -72,6 +72,12 @@ class UpdateMetrics(NamedTuple):
     clipfrac: jax.Array
     clip_loss: jax.Array
     grad_norm: jax.Array
+    # first minibatch of the first epoch — for the reference's verbose
+    # debug print (`clip_ppo_minigrid.py:546-552`).
+    first_pg_loss: jax.Array
+    first_v_loss: jax.Array
+    first_entropy: jax.Array
+    first_clip_loss: jax.Array
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
@@ -143,21 +149,28 @@ def ppo_loss(
 
     clip_loss = jnp.float32(0.0)
     if cfg.clip_mode != "none":
-        # z is the agent latent, detached (`clip_ppo_minigrid.py:269-271`);
-        # the reference recomputes the forward pass for it — the value is
-        # identical to `hidden`, so we reuse it under stop_gradient.
-        z = jax.lax.stop_gradient(hidden)
-        if cfg.clip_mode == "projected":
-            # image modality: 4·512 concat embeddings through the trainable
-            # temporal projection — the only path gradients flow through.
-            c = cnn.dense(params["temporal_projection"], clip_embeddings)
-        else:
-            c = clip_embeddings
         from clip_ppo_tpu.models.clip_utils import compute_cosine_embedding_loss
 
-        raw_clip_loss = compute_cosine_embedding_loss(z, c)
-        # Gated to every CLIP_LOSS_FREQUENCY-th minibatch.
-        clip_loss = jnp.where(use_clip_this_mb, raw_clip_loss, 0.0)
+        def _clip_term():
+            # z is the agent latent, detached (`clip_ppo_minigrid.py:269-271`);
+            # the reference recomputes the forward pass for it — the value
+            # is identical to `hidden`, so we reuse it under stop_gradient.
+            z = jax.lax.stop_gradient(hidden)
+            if cfg.clip_mode == "projected":
+                # image modality: 4·512 concat embeddings through the
+                # trainable temporal projection — the only path gradients
+                # flow through.
+                c = cnn.dense(params["temporal_projection"], clip_embeddings)
+            else:
+                c = clip_embeddings
+            return compute_cosine_embedding_loss(z, c)
+
+        # Gated to every CLIP_LOSS_FREQUENCY-th minibatch; lax.cond skips
+        # the cosine+projection entirely on the other 3/4 of minibatches
+        # (the reference's `minibatch_counter % CLIP_LOSS_FREQUENCY` guard).
+        clip_loss = jax.lax.cond(
+            use_clip_this_mb, _clip_term, lambda: jnp.float32(0.0)
+        )
         loss = loss + clip_lambda_eff * clip_loss
 
     aux = {
@@ -267,6 +280,10 @@ def update_epochs(
         clipfrac=jnp.mean(aux["clipfrac"]),
         clip_loss=last(aux["clip_loss"]),
         grad_norm=last(aux["grad_norm"]),
+        first_pg_loss=aux["pg_loss"][0, 0],
+        first_v_loss=aux["v_loss"][0, 0],
+        first_entropy=aux["entropy"][0, 0],
+        first_clip_loss=aux["clip_loss"][0, 0],
     )
     return params, opt_state, metrics
 

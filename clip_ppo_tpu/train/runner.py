@@ -247,6 +247,12 @@ class Trainer:
                 flat["values"], flat["returns"]
             ),
             "clip_loss": metrics.clip_loss,
+            # first minibatch of the first epoch, for the reference's
+            # verbose debug print (`clip_ppo_minigrid.py:546-552`)
+            "first_pg_loss": metrics.first_pg_loss,
+            "first_v_loss": metrics.first_v_loss,
+            "first_entropy": metrics.first_entropy,
+            "first_clip_loss": metrics.first_clip_loss,
         }
         return state, scalars
 

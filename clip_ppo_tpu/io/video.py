@@ -7,8 +7,10 @@ envs live on the accelerator, so capture works on the rollout batch the
 jitted iteration already produces: the trainer surfaces env 0's frames
 ([T, H, W, C] uint8, one device→host copy per iteration, only when
 enabled), and this recorder splits them at episode boundaries and encodes
-scheduled episodes as animated GIFs via PIL (no ffmpeg dependency in this
-image; GIF is lossless for the 84×84 uint8 frames).
+scheduled episodes as ``rl-video-episode-{k}.mp4`` via OpenCV's mp4v
+writer (the reference's RecordVideo artifact name,
+`ppo_minigrid.py:115-116`), falling back to an animated GIF via PIL when
+no mp4 encoder is available.
 """
 
 from __future__ import annotations
@@ -84,9 +86,35 @@ class VideoRecorder:
         episode_id, self.episode_id = self.episode_id, self.episode_id + 1
         if not frames or not self.episode_trigger(episode_id):
             return None
+        rgb = [self._to_rgb(f) for f in frames]
+        path = self._write_mp4(rgb, episode_id)
+        if path is None:
+            path = self._write_gif(rgb, episode_id)
+        return path
+
+    def _write_mp4(self, rgb: list[np.ndarray], episode_id: int) -> Optional[str]:
+        """Reference artifact format: ``rl-video-episode-{k}.mp4``
+        (`ppo_minigrid.py:115-116` via gymnasium RecordVideo)."""
+        try:
+            import cv2
+        except ImportError:
+            return None
+        path = os.path.join(self.video_dir, f"rl-video-episode-{episode_id}.mp4")
+        h, w = rgb[0].shape[:2]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+        )
+        if not writer.isOpened():
+            return None
+        for frame in rgb:
+            writer.write(np.ascontiguousarray(frame[..., ::-1]))  # RGB → BGR
+        writer.release()
+        return path
+
+    def _write_gif(self, rgb: list[np.ndarray], episode_id: int) -> str:
         from PIL import Image
 
-        imgs = [Image.fromarray(self._to_rgb(f)) for f in frames]
+        imgs = [Image.fromarray(f) for f in rgb]
         path = os.path.join(self.video_dir, f"rl-video-episode-{episode_id}.gif")
         imgs[0].save(
             path,

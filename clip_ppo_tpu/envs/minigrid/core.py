@@ -101,6 +101,14 @@ def parse_env_id(env_id: str) -> EnvParams:
         # wall segment, random agent + goal, max_steps=100 (the env the
         # reference's eval configs reference, `evaluate_algorithm.py:30`).
         return EnvParams("fourrooms", 19, 19, 100, False, True)
+    m = re.match(r"MiniGrid-LavaGapS(\d+)(-v\d+)?$", env_id)
+    if m:
+        # LavaGapEnv(size): full-height lava column at a random x with a
+        # single gap; agent (1,1) facing right, goal bottom-right,
+        # max_steps = 4·size², see_through_walls=False (upstream
+        # minigrid lavagap.py; S5/S6/S7 are the registered sizes).
+        size = int(m.group(1))
+        return EnvParams("lavagap", size, size, 4 * size * size, False)
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
         raise ValueError(f"unsupported MiniGrid env id: {env_id!r}")
@@ -260,6 +268,37 @@ def _reset_fourrooms(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_lavagap(params: EnvParams, key: jax.Array) -> EnvState:
+    """LavaGap: vertical lava strip spanning rows 1..h-2 at a random
+    column x ∈ [2, w-3], with one empty gap at a random row y ∈ [1, h-2];
+    agent fixed at (1,1) facing right, goal at (w-2, h-2) (upstream
+    minigrid `lavagap.py:_gen_grid`)."""
+    w, h = params.width, params.height
+    k_x, k_y, k_next = jax.random.split(key, 3)
+    grid = _base_grid(params)  # border walls + goal bottom-right
+
+    gap_x = jax.random.randint(k_x, (), 2, w - 2)
+    gap_y = jax.random.randint(k_y, (), 1, h - 1)
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    lava_col = (xs == gap_x) & (ys >= 1) & (ys <= h - 2)
+    grid = jnp.where(
+        lava_col[..., None],
+        jnp.asarray([LAVA, RED, 0], dtype=jnp.int8),
+        grid,
+    )
+    grid = grid.at[gap_x, gap_y].set(jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8))
+
+    return EnvState(
+        grid=grid,
+        agent_pos=jnp.array([1, 1], dtype=jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -268,6 +307,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_doorkey(params, key)
     if params.kind == "fourrooms":
         return _reset_fourrooms(params, key)
+    if params.kind == "lavagap":
+        return _reset_lavagap(params, key)
     raise ValueError(params.kind)
 
 

@@ -151,3 +151,46 @@ def test_missing_checkpoint_raises(monkeypatch, tmp_path):
     monkeypatch.setenv("HOME", str(tmp_path))  # empty ~/.cache
     with pytest.raises(FileNotFoundError):
         load_clip_model("ViT-B/32", pretrained=True)
+
+
+def test_full_size_vitb32_roundtrip(tmp_path, monkeypatch):
+    """Pretrained-readiness drill at full scale (VERDICT r1 item 5): a
+    synthesized ViT-B/32 TorchScript archive with OpenAI's exact layout
+    and fp16 dtype round-trips through the real loader path, yields the
+    canonical config, and both towers run end-to-end on the converted
+    weights."""
+    import jax.numpy as jnp
+
+    from clip_ppo_tpu.models.clip import model as clip_model_mod
+    from clip_ppo_tpu.models.clip.config import CLIP_CONFIGS
+    from clip_ppo_tpu.models.clip.synth_checkpoint import (
+        write_fake_openai_checkpoint,
+    )
+
+    path = str(tmp_path / "ViT-B-32.pt")
+    write_fake_openai_checkpoint(path, "ViT-B/32", seed=0)
+    monkeypatch.setenv("CLIP_PPO_CHECKPOINT_DIR", str(tmp_path))
+
+    params, cfg = load_clip_model("ViT-B/32", pretrained=True)
+    ref = CLIP_CONFIGS["ViT-B/32"]
+    assert cfg == ref, "detect_config must recover the canonical ViT-B/32"
+    assert params["visual"]["patch_embed_w"].shape == (32 * 32 * 3, 768)
+    assert len(params["visual"]["transformer"]["resblocks"]) == 12
+    assert params["text"]["text_projection"].shape == (512, 512)
+
+    # numeric parity with the archive contents (fp16 → fp32)
+    m = torch.jit.load(path, map_location="cpu")
+    sd = m.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["class_embedding"]),
+        sd["visual.class_embedding"].float().numpy(),
+        rtol=1e-6,
+    )
+
+    # both towers run at full shapes on the loaded weights
+    img = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    feats = clip_model_mod.encode_image(params, cfg, img)
+    assert feats.shape == (2, 512) and bool(jnp.isfinite(feats).all())
+    toks = jnp.zeros((2, 77), jnp.int32).at[:, 0].set(1)
+    tfeats = clip_model_mod.encode_text(params, cfg, toks)
+    assert tfeats.shape == (2, 512) and bool(jnp.isfinite(tfeats).all())

@@ -42,6 +42,9 @@ class ClipBenchArgs:
     """input frame size before the fused resize (the rollout frame size)"""
     dtype: str = "bfloat16"
     """compute dtype: bfloat16 | float32"""
+    attention_impl: str = "auto"
+    """attention implementation: auto (batch-packed for unmasked) | xla |
+    packed2 | packed4 | pallas"""
     seed: int = 0
     """PRNG seed"""
 
@@ -86,7 +89,7 @@ def main() -> None:
         x = preprocess_for_clip(
             frames.astype(jnp.float32) / 255.0, cfg.image_size
         )
-        return encode_image(p, cfg, x, dtype)
+        return encode_image(p, cfg, x, dtype, attention_impl=args.attention_impl)
 
     key = jax.random.PRNGKey(args.seed)
     print(f"{'batch':>6} {'ms/batch':>10} {'frames/s/chip':>14}")

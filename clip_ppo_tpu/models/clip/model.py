@@ -61,6 +61,57 @@ def _use_packed_attention(impl: str, mask) -> bool:
     return impl == "pallas" and mask is None
 
 
+def _batch_pack_factor(impl: str, mask, seq: int) -> int:
+    """Batch-packing group size for the einsum path.
+
+    With S≈50 tokens, each per-head [S,S] score matmul occupies one full
+    128×128 MXU tile pass at ~15% utilization. Packing G batch elements
+    into one block-masked sequence of length G·S amortizes the same tile
+    passes over G sequences (cross-batch lanes are masked to -inf; the
+    MXU computes the full tile either way, so the extra FLOPs are free).
+    ``impl="packedN"`` forces a factor; "auto" packs unmasked (image)
+    attention up to ~128 packed tokens, the MXU tile edge.
+    """
+    if mask is not None:
+        return 1
+    if impl.startswith("packed"):
+        return int(impl[len("packed"):] or 2)
+    if impl == "auto":
+        return max(1, 128 // seq)
+    return 1
+
+
+def _packed_sdpa(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float, g: int
+) -> jax.Array:
+    """Scaled-dot-product attention with G batch elements packed per
+    block-masked sequence. Exact (not an approximation): softmax rows are
+    masked outside the diagonal blocks, so each sequence attends only to
+    itself."""
+    b, s, h, c = q.shape
+    pad = (-b) % g
+    if pad:
+        zeros = jnp.zeros((pad, s, h, c), q.dtype)
+        q = jnp.concatenate([q, zeros])
+        k = jnp.concatenate([k, zeros])
+        v = jnp.concatenate([v, zeros])
+    bb = q.shape[0] // g
+    qp = q.reshape(bb, g * s, h, c)
+    kp = k.reshape(bb, g * s, h, c)
+    vp = v.reshape(bb, g * s, h, c)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", qp * scale, kp)
+    block = jnp.arange(g * s) // s
+    block_mask = jnp.where(
+        block[:, None] == block[None, :], 0.0, -jnp.inf
+    ).astype(jnp.float32)
+    weights = jax.nn.softmax(
+        logits.astype(jnp.float32) + block_mask, axis=-1
+    ).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhc->bqhc", weights, vp)
+    out = out.reshape(bb * g, s, h, c)
+    return out[:b] if pad else out
+
+
 def attention(
     p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
     impl: str = "auto",
@@ -77,12 +128,15 @@ def attention(
     q = _split_heads(q, heads)
     k = _split_heads(k, heads)
     v = _split_heads(v, heads)
+    scale = 1.0 / np.sqrt(d // heads)
+    pack = _batch_pack_factor(impl, mask, x.shape[1])
     if _use_packed_attention(impl, mask):
         from clip_ppo_tpu.models.clip.pallas_attention import packed_attention
 
         out = packed_attention(q, k, v)
+    elif pack > 1 and x.shape[0] > 1:
+        out = _packed_sdpa(q, k, v, scale, pack)
     else:
-        scale = 1.0 / np.sqrt(d // heads)
         logits = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
         if mask is not None:
             logits = logits + mask.astype(logits.dtype)

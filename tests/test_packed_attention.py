@@ -1,0 +1,63 @@
+"""Batch-packed attention (MXU tile amortization) is numerically exact."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_ppo_tpu.models.clip import model as m
+
+
+def _params(key, d):
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_proj_w": jax.random.normal(k1, (3 * d, d)) * 0.05,
+        "in_proj_b": jnp.zeros(3 * d),
+        "out_proj_w": jax.random.normal(k2, (d, d)) * 0.05,
+        "out_proj_b": jnp.zeros(d),
+    }
+
+
+@pytest.mark.parametrize("batch,impl", [(8, "packed2"), (8, "packed4"),
+                                        (7, "packed4"), (1, "auto")])
+def test_packed_matches_unpacked(batch, impl):
+    d, heads, s = 64, 4, 50
+    key = jax.random.PRNGKey(0)
+    p = _params(key, d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, s, d))
+    ref = m.attention(p, x, heads, impl="xla")
+    out = m.attention(p, x, heads, impl=impl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_auto_packs_only_unmasked():
+    # masked (text) attention must take the reference einsum path exactly
+    d, heads, s = 64, 2, 8
+    p = _params(jax.random.PRNGKey(0), d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, s, d))
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
+    a = m.attention(p, x, heads, mask=mask, impl="auto")
+    b = m.attention(p, x, heads, mask=mask, impl="xla")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert m._batch_pack_factor("auto", mask, s) == 1
+    assert m._batch_pack_factor("auto", None, 50) == 2
+    assert m._batch_pack_factor("packed4", None, 50) == 4
+
+
+def test_encode_image_auto_matches_xla():
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_size=224, patch_size=56, vision_width=64,
+        vision_layers=2, vision_heads=2, context_length=8, vocab_size=64,
+        text_width=32, text_heads=1, text_layers=1,
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (6, 224, 224, 3))
+    a = m.encode_image(params, cfg, imgs, attention_impl="auto")
+    b = m.encode_image(params, cfg, imgs, attention_impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)

@@ -14,9 +14,11 @@ Layout/throughput notes:
 * ``compute_dtype=bfloat16`` runs every matmul on the MXU at full rate
   with fp32 LayerNorm statistics and fp32 output, which keeps embeddings
   within fp32-vs-fp16 tolerance of the reference (which runs fp16);
-* attention over 50/77 tokens is batched einsum MHA — at these sequence
-  lengths a flash-attention kernel buys nothing; the MXU is saturated by
-  the MLPs.
+* attention over 50/77 tokens: on TPU at real batch sizes the unmasked
+  (vision) path uses the fused-qkv Pallas kernel — profiling showed the
+  einsum path is bound by HBM head-split relayout, not the MXU (see
+  pallas_attention.py); the masked text path and small batches keep the
+  batched einsum MHA.
 
 Weight-key layout mirrors OpenAI's module names (visual.transformer.
 resblocks.N..., transformer.resblocks.N..., see loader.py for the
@@ -62,23 +64,40 @@ def _use_packed_attention(impl: str, mask) -> bool:
 
 
 def _batch_pack_factor(impl: str, mask, seq: int) -> int:
-    """Batch-packing group size for the einsum path.
+    """Batch-packing group size for the einsum path (``impl="packedN"``).
 
-    With S≈50 tokens, each per-head [S,S] score matmul occupies one full
-    128×128 MXU tile pass at ~15% utilization. Packing G batch elements
-    into one block-masked sequence of length G·S amortizes the same tile
-    passes over G sequences (cross-batch lanes are masked to -inf; the
-    MXU computes the full tile either way, so the extra FLOPs are free).
-    ``impl="packedN"`` forces a factor; "auto" packs unmasked (image)
-    attention up to ~128 packed tokens, the MXU tile edge.
+    Packs G batch elements into one block-masked sequence of length G·S
+    to amortize MXU tile passes on the tiny [S,S] score matmuls.
+    Measured on v5e this LOSES (145 → 149/177 ms at G=2/4, batch-1024
+    ViT-B/32 encode): the stage is HBM-layout-bound, not tile-bound, and
+    packing grows the logits tensor G×. Kept as an explicit option for
+    other hardware; "auto" never packs — it uses the fused-qkv Pallas
+    kernel on TPU instead (see :func:`_use_fused_qkv`).
     """
     if mask is not None:
         return 1
     if impl.startswith("packed"):
         return int(impl[len("packed"):] or 2)
-    if impl == "auto":
-        return max(1, 128 // seq)
     return 1
+
+
+def _use_fused_qkv(impl: str, mask, batch: int) -> bool:
+    """The fused-qkv Pallas kernel (pallas_attention.fused_qkv_attention)
+    is the TPU default for unmasked (vision) attention at real batch
+    sizes: the XLA path spends ~4.5 ms/layer (ViT-B/32, batch 1024, v5e)
+    relaying q/k/v into padded [B,S,H,64] HBM buffers; the kernel
+    head-splits inside VMEM. Tiny batches (< 64 — e.g. the per-step
+    FROZEN_CLIP encode inside the rollout scan) keep the einsum path:
+    no win there, and the Mosaic compile is expensive. Forward-only —
+    all in-repo consumers are frozen towers or no-grad embedding
+    precomputes; pass impl="xla" to differentiate through."""
+    if mask is not None:
+        return False
+    if impl == "fused":
+        return True
+    return (
+        impl == "auto" and batch >= 64 and jax.default_backend() == "tpu"
+    )
 
 
 def _packed_sdpa(
@@ -118,12 +137,20 @@ def attention(
 ) -> jax.Array:
     """Multi-head self-attention (fused qkv projection).
 
-    ``impl``: "xla"/"auto" = einsum path; "pallas" = the batch-packed
-    tiny-seq kernel (unmasked only, forward-only; ~5% on v5e — opt-in,
-    see pallas_attention.py).
+    ``impl``: "auto" = fused-qkv Pallas kernel on TPU for unmasked
+    attention at batch ≥ 64, einsum otherwise; "xla" = always einsum
+    (differentiable); "fused" = force the kernel; "packedN" = einsum
+    with N-way batch packing; "pallas" = the legacy (b,h)-pair kernel.
     """
     d = x.shape[-1]
     qkv = x @ p["in_proj_w"].astype(x.dtype).T + p["in_proj_b"].astype(x.dtype)
+    if _use_fused_qkv(impl, mask, x.shape[0]):
+        from clip_ppo_tpu.models.clip.pallas_attention import (
+            fused_qkv_attention,
+        )
+
+        out = fused_qkv_attention(qkv, heads)
+        return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, heads)
     k = _split_heads(k, heads)

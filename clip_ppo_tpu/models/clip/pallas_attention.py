@@ -1,26 +1,27 @@
-"""Pallas TPU kernel: batch-packed attention for tiny sequences (opt-in).
+"""Pallas TPU attention kernels for CLIP's tiny sequences.
 
-CLIP's sequences are tiny (50 image tokens), so each per-(batch, head)
-score matmul is ~[50, 64] @ [64, 50] — far below the 128×128 MXU tile.
-This kernel packs ``group`` (batch, head) pairs into one block-diagonal
-score computation
+Two kernels, one lesson. Profiling the batch-1024 ViT-B/32 encode on v5e
+showed the attention stage is NOT MXU-bound: the scores/softmax/AV math
+costs ~2 ms/layer in isolation, but the XLA path spends ~4.5 ms/layer
+relaying q/k/v from the fused [B, S, 3·768] qkv projection into padded
+[B, S, H, 64] HBM buffers (64 < 128 lanes → 2× physical memory + strided
+copies) and transposing the output back.
 
-    S_pack = (Q₁‖…‖Q_G) @ (K₁‖…‖K_G)ᵀ                [G·T, G·T]
+:func:`fused_qkv_attention` — the TPU default ("auto") for unmasked
+vision attention — therefore consumes the qkv buffer in its NATURAL
+layout, head-splits inside VMEM, keeps logits/softmax in VMEM, and emits
+[B, S, D] ready for the output projection. Measured: attention stack
+102 → 52 ms, full encode 150 → 92 ms (1.63×).
 
-(G× the needed FLOPs — the cross-pair blocks are waste — at much higher
-MXU fill; masking the cross blocks to -inf before the softmax makes the
-second matmul automatically correct), processing ``block_pairs`` pairs
-per grid step to amortize DMA.
+:func:`packed_attention` (opt-in, ``attention_impl="pallas"``) is the
+earlier (batch, head)-pair block-diagonal packing experiment; it kept
+the host-side [B,S,H,D] relayout and so only reached ~5% — retained as a
+reference point and for its packing machinery.
 
-Measured on v5e (ViT-B/32, batch 1024, `docs/PERFORMANCE.md`): the best
-variant (block_pairs=64, group=4) reaches 142 ms/batch vs 150 ms for the
-XLA einsum path — only ~5%, because XLA's batched dot already tiles the
-small matrices well and the stage is partly softmax/layout-bound. The
-kernel therefore stays **opt-in** (``attention_impl="pallas"``); "auto"
-keeps the XLA path. Forward-only: every consumer sits behind
-``stop_gradient`` (frozen CLIP towers) or outside the differentiated
-loss, so no VJP is required. Off-TPU the interpreter runs the same code
-for tests.
+Both are forward-only: every consumer sits behind ``stop_gradient``
+(frozen CLIP towers) or outside the differentiated loss, so no VJP is
+required; pass ``attention_impl="xla"`` to differentiate through the
+tower. Off-TPU the interpreter runs the same code for tests.
 """
 
 from __future__ import annotations
@@ -33,6 +34,110 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
+                      group: int, scale: float):
+    """Per grid step: one block of batches, all heads, entirely in VMEM.
+
+    ``qkv_ref``: [B_blk, T, 3·H·Dh] (the fused qkv projection output in
+    its natural packed layout — no HBM head-split relayout ever happens);
+    ``o_ref``: [B_blk, T, H·Dh]. Heads are sliced out of the lane
+    dimension inside VMEM, where the relayout is register shuffling
+    instead of an HBM round trip. ``group`` heads are packed per score
+    matmul (block-diagonal mask) to halve MXU passes on the tiny [T, T]
+    tiles.
+    """
+    b_blk = qkv_ref.shape[0]
+    d = heads * d_head
+    gt = group * t
+    for b in range(b_blk):
+        qkv = qkv_ref[b]  # [T, 3·H·Dh]
+        for g0 in range(0, heads, group):
+            # pack `group` heads' q/k/v as [G·T, Dh]
+            q = jnp.concatenate(
+                [qkv[:, (g0 + j) * d_head:(g0 + j + 1) * d_head]
+                 for j in range(group)], axis=0)
+            k = jnp.concatenate(
+                [qkv[:, d + (g0 + j) * d_head:d + (g0 + j + 1) * d_head]
+                 for j in range(group)], axis=0)
+            v = jnp.concatenate(
+                [qkv[:, 2 * d + (g0 + j) * d_head:2 * d + (g0 + j + 1) * d_head]
+                 for j in range(group)], axis=0)
+            s = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G·T, G·T]
+            if group > 1:
+                row = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 0) // t
+                col = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 1) // t
+                s = jnp.where(row == col, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)  # [G·T, Dh]
+            for j in range(group):
+                o_ref[b, :, (g0 + j) * d_head:(g0 + j + 1) * d_head] = (
+                    o[j * t:(j + 1) * t].astype(o_ref.dtype)
+                )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "block_batches", "group", "interpret")
+)
+def fused_qkv_attention(
+    qkv: jax.Array,
+    heads: int,
+    block_batches: Optional[int] = None,
+    group: int = 1,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention straight from the fused qkv projection.
+
+    ``qkv``: [B, T, 3·D] (layout of ``x @ in_proj_w.T``), returns
+    [B, T, D] ready for the output projection. The XLA einsum path pays
+    ~4.5 ms/layer (ViT-B/32, batch 1024, v5e) relaying q/k/v into padded
+    [B, S, H, 64] buffers in HBM and transposing the output back; this
+    kernel's inputs and outputs stay in the natural packed layout, so
+    that tax disappears and the softmax never leaves VMEM. Unmasked only
+    (CLIP vision tower). Forward-only: consumers are frozen towers /
+    no-grad embedding precomputes (zero-tangent inputs under AD).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    d_head = d // heads
+    assert heads % group == 0, (heads, group)
+    scale = 1.0 / np.sqrt(d_head)
+
+    if block_batches is None:
+        # fit the double-buffered qkv block in a few MB of VMEM (~16 MB
+        # total): ViT-B/32 (50×2304) → 8, ViT-L/14 (257×3072) → 2.
+        block_bytes = t * d3 * qkv.dtype.itemsize
+        block_batches = max(1, min(8, (4 << 20) // block_bytes))
+
+    pad = (-b) % block_batches
+    if pad:
+        qkv = jnp.concatenate(
+            [qkv, jnp.zeros((pad, t, d3), qkv.dtype)], axis=0
+        )
+    blocks = (b + pad) // block_batches
+
+    kernel = functools.partial(
+        _fused_qkv_kernel, heads=heads, t=t, d_head=d_head, group=group,
+        scale=scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec((block_batches, t, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_batches, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad, t, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out[:b]
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_pairs: int, group: int,

@@ -42,8 +42,51 @@ def test_auto_packs_only_unmasked():
     b = m.attention(p, x, heads, mask=mask, impl="xla")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert m._batch_pack_factor("auto", mask, s) == 1
-    assert m._batch_pack_factor("auto", None, 50) == 2
+    # auto never batch-packs (measured loss on v5e); packing is explicit
+    assert m._batch_pack_factor("auto", None, 50) == 1
     assert m._batch_pack_factor("packed4", None, 50) == 4
+
+
+@pytest.mark.parametrize("batch,heads,t,dh,group,bb", [
+    (8, 4, 50, 16, 1, 4),   # even split
+    (7, 4, 50, 16, 1, 4),   # batch padding
+    (8, 4, 50, 16, 2, 8),   # head packing
+    (6, 2, 77, 32, 1, None),  # text-length seq, auto block
+])
+def test_fused_qkv_matches_einsum(batch, heads, t, dh, group, bb):
+    """The fused-qkv kernel (the TPU vision-attention default) is exact
+    vs the einsum reference, across padding and head-packing configs
+    (interpret mode off-TPU)."""
+    from clip_ppo_tpu.models.clip.pallas_attention import fused_qkv_attention
+
+    d = heads * dh
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (batch, t, 3 * d))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(batch, t, heads, dh)
+    kh = k.reshape(batch, t, heads, dh)
+    vh = v.reshape(batch, t, heads, dh)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", qh / np.sqrt(dh), kh)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1)
+    ref = jnp.einsum("bhqk,bkhc->bqhc", w, vh).reshape(batch, t, d)
+
+    out = fused_qkv_attention(
+        qkv, heads, block_batches=bb, group=group, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_selection_logic():
+    mask = jnp.zeros((4, 4))
+    assert not m._use_fused_qkv("auto", mask, 1024), "masked (text) never fuses"
+    assert not m._use_fused_qkv("xla", None, 1024)
+    assert m._use_fused_qkv("fused", None, 8)
+    assert not m._use_fused_qkv("auto", None, 16), "tiny batches keep einsum"
+    # "auto" fuses only on TPU backends (at real batch sizes)
+    import jax as _jax
+
+    expected = _jax.default_backend() == "tpu"
+    assert m._use_fused_qkv("auto", None, 1024) == expected
 
 
 def test_encode_image_auto_matches_xla():

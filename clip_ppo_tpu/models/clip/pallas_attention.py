@@ -81,10 +81,57 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
                 )
 
 
+def _einsum_attention_from_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+    """Differentiable reference of the fused kernel's math (same fp32
+    softmax); used as the custom-VJP backward so the kernel is safe under
+    reverse-mode AD (backward recomputes via XLA — rare path; all hot
+    consumers are no-grad)."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, heads, dh)
+    k = k.reshape(b, t, heads, dh)
+    v = v.reshape(b, t, heads, dh)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q / np.sqrt(dh), k)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhc->bqhc", w, v).reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _fused_qkv_attention_p(qkv, heads, block_batches, group, interpret):
+    return _fused_qkv_call(qkv, heads, block_batches, group, interpret)
+
+
+def _fused_fwd(qkv, heads, block_batches, group, interpret):
+    return _fused_qkv_call(qkv, heads, block_batches, group, interpret), qkv
+
+
+def _fused_bwd(heads, block_batches, group, interpret, qkv, ct):
+    _, vjp = jax.vjp(lambda z: _einsum_attention_from_qkv(z, heads), qkv)
+    return vjp(ct)
+
+
+_fused_qkv_attention_p.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jax.Array,
+    heads: int,
+    block_batches: Optional[int] = None,
+    group: int = 1,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Public entry (see :func:`_fused_qkv_call` for the kernel docs):
+    forward runs the Pallas kernel; reverse-mode AD is supported via a
+    custom VJP that recomputes through the einsum reference."""
+    return _fused_qkv_attention_p(qkv, heads, block_batches, group, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("heads", "block_batches", "group", "interpret")
 )
-def fused_qkv_attention(
+def _fused_qkv_call(
     qkv: jax.Array,
     heads: int,
     block_batches: Optional[int] = None,

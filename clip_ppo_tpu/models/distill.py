@@ -101,7 +101,12 @@ def distill_visual_tower(
         x = preprocess_for_clip(
             obs.astype(jnp.float32) / 255.0, cfg.image_size
         )
-        return clip_model_mod.encode_image(params, cfg, x, compute_dtype)
+        # xla attention: distillation differentiates THROUGH the tower,
+        # so take the natively differentiable path (the fused kernel's
+        # custom VJP would recompute through it anyway).
+        return clip_model_mod.encode_image(
+            params, cfg, x, compute_dtype, attention_impl="xla"
+        )
 
     def loss_fn(visual, obs, tgt):
         feats = student({**clip_params, "visual": visual}, obs)

@@ -104,3 +104,26 @@ def test_encode_image_auto_matches_xla():
     b = m.encode_image(params, cfg, imgs, attention_impl="xla")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_qkv_custom_vjp_matches_einsum_grad():
+    """Reverse-mode AD through the fused kernel (custom VJP recomputing
+    via the einsum reference) matches differentiating the reference
+    directly — so distillation/finetuning paths can't silently break."""
+    from clip_ppo_tpu.models.clip.pallas_attention import (
+        _einsum_attention_from_qkv,
+        fused_qkv_attention,
+    )
+
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 3 * 32))
+
+    def loss_fused(z):
+        return jnp.sum(fused_qkv_attention(z, 2, interpret=True) ** 2)
+
+    def loss_ref(z):
+        return jnp.sum(_einsum_attention_from_qkv(z, 2) ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)

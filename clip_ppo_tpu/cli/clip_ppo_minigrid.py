@@ -5,9 +5,12 @@ Differences in *mechanism* (never in semantics) vs the reference:
 
 * rollout + GAE + the 4×4 minibatch update (including the CLIP cosine
   term, gated to every 4th minibatch with λ warmup) compile into XLA
-  programs; for the text modality the iteration runs as two jitted halves
-  around the host-side symbolic-description/tokenization step (SURVEY §7
-  hard part 6); image and random modalities are fully fused;
+  programs; the image modality is fully fused, and the text modality is
+  too by default — descriptions are f(agent_pos, dir) + a constant
+  border-wall suffix, so the W·H·4 description-embedding table is
+  precomputed once and gathered in-graph (``--no-text-embed-table``
+  restores the reference-shaped split: two jitted halves around host
+  symbolic-description/tokenization, SURVEY §7 hard part 6);
 * GPU-batch disturbances (`DisturbanceWrapperGPU` semantics: shared cutout
   patch per batch, blend-with-gray contrast) run on-device inside the
   rollout, applied to the observation BEFORE storing/acting
@@ -164,7 +167,12 @@ class Args:
     batch are sharded across a dp mesh, parameters replicated"""
     iterations_per_dispatch: int = 8
     """training iterations fused into one device dispatch (fused paths
-    only; the text modality runs per-iteration around host tokenization)"""
+    only; the split text path runs per-iteration around host tokenization)"""
+    text_embed_table: bool = True
+    """text modality: precompute the W·H·4 description-embedding table at
+    startup and gather in-graph (fully fused iteration, chunked dispatch;
+    embeddings identical to per-step host tokenization). Disable to force
+    the reference-shaped split path."""
 
     # to be filled in runtime
     batch_size: int = 0
@@ -274,6 +282,38 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if fused_image_path:
         embed_images_fn = clip_utils.make_encode_images_fn(clip_cfg)
 
+    # Text modality: MiniGrid descriptions are exactly f(agent_x, agent_y,
+    # dir) + a constant border-wall suffix, so the full W·H·4 description
+    # space is encoded once and the per-step embedding becomes an in-graph
+    # table gather — the text modality runs fully fused (chunked dispatch
+    # included) with bit-identical embeddings to the per-step host path.
+    fused_text_path = (
+        compute_clip
+        and cc.clip_modality == "text"
+        and cc.ablation_mode != AblationMode.RANDOM_ENCODER
+        and args.text_embed_table
+    )
+    embed_desc_fn = None
+    if fused_text_path:
+        w, h = env.params.width, env.params.height
+        # the suffix (first 3 non-empty cells in x-major order) is the
+        # static x=0 border wall on every bordered layout; verify on two
+        # sampled resets and fall back to the split path if it ever varied
+        suffixes = {
+            minigrid_core._objects_suffix(
+                np.asarray(minigrid_core.reset(env.params, jax.random.PRNGKey(s)).grid)
+            )
+            for s in (0, 1)
+        }
+        if len(suffixes) == 1:
+            table = clip_utils.build_minigrid_text_table(
+                clip_params, clip_cfg, w, h, suffixes.pop()
+            )
+            frozen_params = dict(frozen_params or {}, text_table=table)
+            embed_desc_fn = clip_utils.make_text_table_embed_fn(h)
+        else:
+            fused_text_path = False
+
     mesh = None
     n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
     if n_dev > 1:
@@ -290,6 +330,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         disturbance_semantics="batched",  # GPU-pipeline semantics
         features_fn=features_fn,
         embed_images_fn=embed_images_fn,
+        embed_desc_fn=embed_desc_fn,
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
         frozen_params=frozen_params,
@@ -330,7 +371,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     start_time = time.time()
     last_returns: list[float] = []
 
-    use_split_path = compute_clip and not fused_image_path
+    use_split_path = (
+        compute_clip and not fused_image_path and not fused_text_path
+    )
     iteration = start_iteration
     while iteration <= args.num_iterations:
         if use_split_path:

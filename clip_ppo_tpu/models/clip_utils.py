@@ -237,6 +237,65 @@ def make_multiframe_embed_fn(cfg: CLIPConfig, compute_dtype=jnp.bfloat16):
     return embed
 
 
+def build_minigrid_text_table(
+    clip_params: dict,
+    cfg: CLIPConfig,
+    width: int,
+    height: int,
+    suffix: str,
+    compute_dtype=jnp.float32,
+    encode_batch: int = 1024,
+) -> jax.Array:
+    """Precompute text embeddings for every possible MiniGrid description.
+
+    MiniGrid descriptions are ``"agent at (x,y) facing D" + suffix`` where
+    the suffix (first 3 non-empty cells in x-major scan order) is the
+    static border walls — constant for the whole run
+    (`clip_ppo_minigrid.py:164-211`; `envs/minigrid/core.describe_rollout`).
+    The description space is therefore exactly W·H·4 strings; encoding
+    them once lets the text modality run fully in-graph as a table gather
+    (index (x·H + y)·4 + dir), removing the per-iteration host
+    tokenization round trip. Embeddings are bit-identical to encoding the
+    per-step strings (same tokenizer, same tower, deterministic).
+
+    Returns [W·H·4, embed_dim] L2-normalized float32.
+    """
+    from clip_ppo_tpu.envs.minigrid.core import DIR_NAMES
+
+    descriptions = [
+        f"agent at ({x},{y}) facing {DIR_NAMES[d]}" + suffix
+        for x in range(width)
+        for y in range(height)
+        for d in range(4)
+    ]
+    encode = jax.jit(
+        lambda cp, toks: l2_normalize(
+            clip_model_mod.encode_text(cp, cfg, toks, compute_dtype)
+        )
+    )
+    chunks = []
+    for i in range(0, len(descriptions), encode_batch):
+        toks = jnp.asarray(tokenize(descriptions[i:i + encode_batch]))
+        chunks.append(encode(clip_params, toks))
+    return jnp.concatenate(chunks, axis=0)
+
+
+def make_text_table_embed_fn(height: int):
+    """In-graph text-modality embedding fn over a precomputed table:
+    ``(desc, frozen) -> [T·N, embed_dim]`` where ``desc`` is the rollout's
+    per-step state snapshot ({"agent_pos": [T,N,2], "agent_dir": [T,N]})
+    and the table is threaded via ``frozen["text_table"]`` (never a
+    closure — see make_frozen_clip_features_fn)."""
+
+    def embed(desc: dict, frozen: dict) -> jax.Array:
+        pos = desc["agent_pos"].reshape(-1, 2)  # t-major, matches b_* layout
+        dirs = desc["agent_dir"].reshape(-1)
+        idx = (pos[:, 0].astype(jnp.int32) * height + pos[:, 1]) * 4 + dirs
+        return frozen["text_table"][idx]
+
+    return embed
+
+
 def verbose_debug_print(
     iteration: int,
     clip_lambda: float,

@@ -3,10 +3,12 @@
 The reference iteration is host-driven (rollout loop, GAE loop, 16
 minibatch steps — `ppo_minigrid.py:235-350`). Here it is a single jitted
 function: rollout scan → GAE scan → update scans, with only the logging
-scalars and episode statistics returned to the host. For CLIP text
-modality the iteration is split in two jitted halves around the host-side
-description/tokenization step (SURVEY §7 hard part 6); the image modality
-stays fully in-graph because the CLIP image encoder is device compute.
+scalars and episode statistics returned to the host. The image modality
+is fully in-graph (the CLIP image encoder is device compute); the text
+modality is fully in-graph too when a description-embedding table is
+precomputed (``embed_desc_fn`` — MiniGrid descriptions are enumerable),
+and otherwise runs as two jitted halves around the host-side
+description/tokenization step (SURVEY §7 hard part 6).
 """
 
 from __future__ import annotations
@@ -49,6 +51,11 @@ class Trainer:
         embed_images_fn: optional in-graph CLIP image-embedding function
             ``(b_obs_uint8 [B,H,W,C]) -> [B, D]`` for image modality
             (concat-per-frame for Atari happens inside it).
+        embed_desc_fn: optional in-graph text-embedding function
+            ``(rollout_desc, frozen) -> [B, D]`` over the per-step state
+            snapshots (e.g. a precomputed MiniGrid description table,
+            `clip_utils.make_text_table_embed_fn`) — makes the text
+            modality fully fused, no host tokenization in the loop.
         clip_lambda: target λ for the alignment loss (warmup applied here,
             `clip_ppo_utils.py:26-46`).
         clip_warmup_fraction: fraction of iterations for linear λ warmup.
@@ -68,6 +75,7 @@ class Trainer:
         disturbance_semantics: str = "batched",
         features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
         embed_images_fn: Optional[Callable] = None,
+        embed_desc_fn: Optional[Callable] = None,
         clip_lambda: float = 0.0,
         clip_warmup_fraction: float = 0.2,
         capture_env0: bool = False,
@@ -96,6 +104,7 @@ class Trainer:
         self.disturbance_semantics = disturbance_semantics
         self.features_fn = features_fn
         self.embed_images_fn = embed_images_fn
+        self.embed_desc_fn = embed_desc_fn
         self.clip_lambda = clip_lambda
         self.clip_warmup_fraction = clip_warmup_fraction
         # Surface env 0's rollout frames for video capture (RecordVideo
@@ -297,6 +306,8 @@ class Trainer:
         clip_embeddings = None
         if self.embed_images_fn is not None:
             clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
+        elif self.embed_desc_fn is not None:
+            clip_embeddings = self.embed_desc_fn(batch.desc, frozen)
         state, scalars = self._update(state, flat, iteration, clip_embeddings, frozen)
         episode_stats = self._episode_stats(batch)
         return state, scalars, episode_stats

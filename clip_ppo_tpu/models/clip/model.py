@@ -83,16 +83,16 @@ def _batch_pack_factor(impl: str, mask, seq: int) -> int:
 
 def _use_fused_qkv(impl: str, mask, batch: int) -> bool:
     """The fused-qkv Pallas kernel (pallas_attention.fused_qkv_attention)
-    is the TPU default for unmasked (vision) attention at real batch
-    sizes: the XLA path spends ~4.5 ms/layer (ViT-B/32, batch 1024, v5e)
+    is the TPU default for unmasked (vision) and causal (text) attention
+    at real batch sizes: the XLA path spends ~4.5 ms/layer (ViT-B/32, batch 1024, v5e)
     relaying q/k/v into padded [B,S,H,64] HBM buffers; the kernel
     head-splits inside VMEM. Tiny batches (< 64 — e.g. the per-step
     FROZEN_CLIP encode inside the rollout scan) keep the einsum path:
     no win there, and the Mosaic compile is expensive. Forward-only —
     all in-repo consumers are frozen towers or no-grad embedding
     precomputes; pass impl="xla" to differentiate through."""
-    if mask is not None:
-        return False
+    if mask is not None and not isinstance(mask, str):
+        return False  # arbitrary mask arrays keep the einsum path
     if impl == "fused":
         return True
     return (
@@ -149,8 +149,11 @@ def attention(
             fused_qkv_attention,
         )
 
-        out = fused_qkv_attention(qkv, heads)
+        out = fused_qkv_attention(qkv, heads, causal=(mask == "causal"))
         return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
+    if isinstance(mask, str):  # "causal" sentinel → concrete mask array
+        assert mask == "causal", mask
+        mask = causal_mask(x.shape[1]).astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, heads)
     k = _split_heads(k, heads)
@@ -237,6 +240,7 @@ def encode_text(
     cfg: CLIPConfig,
     tokens: jax.Array,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """[B, 77] int32 token ids → [B, embed_dim] features.
 
@@ -246,8 +250,10 @@ def encode_text(
     t = params["text"]
     x = t["token_embedding"][tokens].astype(compute_dtype)
     x = x + t["positional_embedding"][: tokens.shape[1]].astype(compute_dtype)
-    mask = causal_mask(tokens.shape[1])
-    x = transformer(t["transformer"], x, cfg.text_heads, mask)
+    # "causal" sentinel: the fused kernel applies the mask in-VMEM on
+    # TPU; the einsum path materializes the concrete array
+    x = transformer(t["transformer"], x, cfg.text_heads, "causal",
+                    impl=attention_impl)
     x = layer_norm(t["ln_final"], x)
     eot = jnp.argmax(tokens, axis=-1)
     pooled = x[jnp.arange(x.shape[0]), eot]

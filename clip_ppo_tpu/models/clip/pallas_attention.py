@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
-                      group: int, scale: float):
+                      group: int, scale: float, causal: bool = False):
     """Per grid step: one block of batches, all heads, entirely in VMEM.
 
     ``qkv_ref``: [B_blk, T, 3·H·Dh] (the fused qkv projection output in
@@ -72,6 +72,10 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
                 row = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 0) // t
                 col = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 1) // t
                 s = jnp.where(row == col, s, -jnp.inf)
+            if causal:
+                rr = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 0) % t
+                cc = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 1) % t
+                s = jnp.where(rr >= cc, s, -jnp.inf)
             p = jax.nn.softmax(s, axis=-1)
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)  # [G·T, Dh]
@@ -81,7 +85,9 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
                 )
 
 
-def _einsum_attention_from_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+def _einsum_attention_from_qkv(
+    qkv: jax.Array, heads: int, causal: bool = False
+) -> jax.Array:
     """Differentiable reference of the fused kernel's math (same fp32
     softmax); used as the custom-VJP backward so the kernel is safe under
     reverse-mode AD (backward recomputes via XLA — rare path; all hot
@@ -94,21 +100,28 @@ def _einsum_attention_from_qkv(qkv: jax.Array, heads: int) -> jax.Array:
     k = k.reshape(b, t, heads, dh)
     v = v.reshape(b, t, heads, dh)
     logits = jnp.einsum("bqhc,bkhc->bhqk", q / np.sqrt(dh), k)
+    if causal:
+        logits = logits + jnp.triu(jnp.full((t, t), -jnp.inf), k=1)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(qkv.dtype)
     return jnp.einsum("bhqk,bkhc->bqhc", w, v).reshape(b, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _fused_qkv_attention_p(qkv, heads, block_batches, group, interpret):
-    return _fused_qkv_call(qkv, heads, block_batches, group, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _fused_qkv_attention_p(qkv, heads, block_batches, group, interpret, causal):
+    return _fused_qkv_call(qkv, heads, block_batches, group, interpret, causal)
 
 
-def _fused_fwd(qkv, heads, block_batches, group, interpret):
-    return _fused_qkv_call(qkv, heads, block_batches, group, interpret), qkv
+def _fused_fwd(qkv, heads, block_batches, group, interpret, causal):
+    return (
+        _fused_qkv_call(qkv, heads, block_batches, group, interpret, causal),
+        qkv,
+    )
 
 
-def _fused_bwd(heads, block_batches, group, interpret, qkv, ct):
-    _, vjp = jax.vjp(lambda z: _einsum_attention_from_qkv(z, heads), qkv)
+def _fused_bwd(heads, block_batches, group, interpret, causal, qkv, ct):
+    _, vjp = jax.vjp(
+        lambda z: _einsum_attention_from_qkv(z, heads, causal), qkv
+    )
     return vjp(ct)
 
 
@@ -121,15 +134,20 @@ def fused_qkv_attention(
     block_batches: Optional[int] = None,
     group: int = 1,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Public entry (see :func:`_fused_qkv_call` for the kernel docs):
-    forward runs the Pallas kernel; reverse-mode AD is supported via a
+    forward runs the Pallas kernel (``causal=True`` applies the text
+    tower's causal mask in-kernel); reverse-mode AD is supported via a
     custom VJP that recomputes through the einsum reference."""
-    return _fused_qkv_attention_p(qkv, heads, block_batches, group, interpret)
+    return _fused_qkv_attention_p(
+        qkv, heads, block_batches, group, interpret, causal
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "block_batches", "group", "interpret")
+    jax.jit,
+    static_argnames=("heads", "block_batches", "group", "interpret", "causal"),
 )
 def _fused_qkv_call(
     qkv: jax.Array,
@@ -137,6 +155,7 @@ def _fused_qkv_call(
     block_batches: Optional[int] = None,
     group: int = 1,
     interpret: Optional[bool] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Attention straight from the fused qkv projection.
 
@@ -145,9 +164,9 @@ def _fused_qkv_call(
     ~4.5 ms/layer (ViT-B/32, batch 1024, v5e) relaying q/k/v into padded
     [B, S, H, 64] buffers in HBM and transposing the output back; this
     kernel's inputs and outputs stay in the natural packed layout, so
-    that tax disappears and the softmax never leaves VMEM. Unmasked only
-    (CLIP vision tower). Forward-only: consumers are frozen towers /
-    no-grad embedding precomputes (zero-tangent inputs under AD).
+    that tax disappears and the softmax never leaves VMEM. ``causal``
+    applies the text tower's causal mask in-kernel (iota compare in
+    VMEM). Reverse-mode AD goes through the public wrapper's custom VJP.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -172,7 +191,7 @@ def _fused_qkv_call(
 
     kernel = functools.partial(
         _fused_qkv_kernel, heads=heads, t=t, d_head=d_head, group=group,
-        scale=scale,
+        scale=scale, causal=causal,
     )
     out = pl.pallas_call(
         kernel,

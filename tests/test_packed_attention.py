@@ -127,3 +127,45 @@ def test_fused_qkv_custom_vjp_matches_einsum_grad():
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_qkv_causal_matches_einsum():
+    """In-kernel causal masking (text tower) is exact vs the masked
+    einsum reference."""
+    from clip_ppo_tpu.models.clip.pallas_attention import (
+        _einsum_attention_from_qkv,
+        fused_qkv_attention,
+    )
+
+    qkv = jax.random.normal(jax.random.PRNGKey(2), (5, 13, 3 * 64))
+    ref = _einsum_attention_from_qkv(qkv, 4, causal=True)
+    out = fused_qkv_attention(qkv, 4, interpret=True, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and grads through the causal custom VJP
+    g1 = jax.grad(lambda z: jnp.sum(
+        fused_qkv_attention(z, 4, interpret=True, causal=True) ** 2))(qkv)
+    g2 = jax.grad(lambda z: jnp.sum(
+        _einsum_attention_from_qkv(z, 4, causal=True) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encode_text_paths_agree():
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import encode_text, init_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_size=224, patch_size=56, vision_width=64,
+        vision_layers=1, vision_heads=2, context_length=16, vocab_size=100,
+        text_width=32, text_heads=2, text_layers=2,
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(
+        jax.random.PRNGKey(1), (5, 16), 1, 98, jnp.int32
+    ).at[:, -1].set(99)
+    a = encode_text(params, cfg, toks, attention_impl="xla")
+    b = encode_text(params, cfg, toks, attention_impl="fused")
+    c = encode_text(params, cfg, toks, attention_impl="auto")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-6, atol=1e-6)

@@ -48,10 +48,12 @@ def test_auto_packs_only_unmasked():
 
 
 @pytest.mark.parametrize("batch,heads,t,dh,group,bb", [
-    (8, 4, 50, 16, 1, 4),   # even split
+    (8, 4, 50, 16, 1, 4),   # even split (generic path)
     (7, 4, 50, 16, 1, 4),   # batch padding
     (8, 4, 50, 16, 2, 8),   # head packing
     (6, 2, 77, 32, 1, None),  # text-length seq, auto block
+    (8, 4, 50, 64, 1, 4),   # Dh=64 → aligned head-pair path
+    (7, 12, 50, 64, 1, 4),  # aligned + batch padding, ViT-B/32 heads
 ])
 def test_fused_qkv_matches_einsum(batch, heads, t, dh, group, bb):
     """The fused-qkv kernel (the TPU vision-attention default) is exact

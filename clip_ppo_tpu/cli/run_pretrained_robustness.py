@@ -21,7 +21,7 @@ the loader path when no real weights are available.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from clip_ppo_tpu.utils import flags
 

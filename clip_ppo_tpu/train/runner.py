@@ -305,7 +305,22 @@ class Trainer:
         flat = self._flatten(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:
-            clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
+            if self.mesh is not None:
+                # run the CLIP encode per-shard under shard_map: a Pallas
+                # custom call has no GSPMD partitioning rule, so left in
+                # the global graph XLA would all-gather the dp-sharded
+                # batch onto every device before encoding.
+                from jax.sharding import PartitionSpec as P
+
+                clip_embeddings = jax.shard_map(
+                    self.embed_images_fn,
+                    mesh=self.mesh,
+                    in_specs=(P("dp"), P()),
+                    out_specs=P("dp"),
+                    check_vma=False,
+                )(flat["obs"], frozen)
+            else:
+                clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
         elif self.embed_desc_fn is not None:
             clip_embeddings = self.embed_desc_fn(batch.desc, frozen)
         state, scalars = self._update(state, flat, iteration, clip_embeddings, frozen)

@@ -118,3 +118,57 @@ def test_dp8_trains_and_stays_replicated():
     assert len(shards) == 8
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_sharded_image_embed_matches_unsharded():
+    """The shard_map'd per-shard CLIP encode (needed because a Pallas
+    custom call has no GSPMD partitioning rule) is numerically the
+    unsharded encode, and the image-modality Trainer runs under a mesh."""
+    import jax.numpy as jnp
+
+    from clip_ppo_tpu.envs import AtariVectorEnv
+    from clip_ppo_tpu.models import clip_utils, init_agent_params
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import init_clip_params
+    from clip_ppo_tpu.parallel.mesh import make_mesh
+    from clip_ppo_tpu.train import PPOConfig, Trainer
+
+    tiny = CLIPConfig(
+        embed_dim=512, image_size=224, patch_size=56, vision_width=64,
+        vision_layers=1, vision_heads=2, context_length=77,
+        vocab_size=49408, text_width=64, text_heads=2, text_layers=1,
+    )
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    embed_fn = clip_utils.make_multiframe_embed_fn(tiny)
+
+    mesh = make_mesh(num_devices=2)
+    env = AtariVectorEnv("ALE/Breakout-v5", 2)
+    cfg = PPOConfig(num_envs=2, num_steps=8, num_minibatches=2,
+                    update_epochs=1, clip_mode="projected")
+    tr = Trainer(
+        cfg, env, num_iterations=2, embed_images_fn=embed_fn,
+        clip_lambda=1e-5, frozen_params={"clip": clip_params}, mesh=mesh,
+    )
+    params = init_agent_params(
+        jax.random.PRNGKey(0), env.num_actions, in_channels=4,
+        with_temporal_projection=True,
+    )
+    st = tr.init_state(params, 0)
+    st, sc, _ = tr.run_iteration(st, 1)
+    assert np.isfinite(float(sc["policy_loss"]))
+
+    # direct numeric check of the shard-mapped embed vs unsharded
+    from jax.sharding import PartitionSpec as P
+
+    obs = np.random.default_rng(0).integers(
+        0, 255, (4, 84, 84, 4), np.uint8
+    )
+    frozen = tr.frozen_params
+    a = jax.jit(
+        lambda o, fr: jax.shard_map(
+            embed_fn, mesh=mesh, in_specs=(P("dp"), P()),
+            out_specs=P("dp"), check_vma=False,
+        )(o, fr)
+    )(jnp.asarray(obs), frozen)
+    b = embed_fn(jnp.asarray(obs), frozen)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)

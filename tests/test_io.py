@@ -94,3 +94,27 @@ class TestCheckpoint:
             raw = pickle.load(f)
         assert raw["training_complete"] is True
         assert "temporal_projection_state" in raw
+
+
+def test_pt_extension_env_var(tmp_path, monkeypatch):
+    """CLIP_PPO_CKPT_EXT=.pt names files like the reference
+    (`checkpoint_utils.py:37-46`); payload unchanged."""
+    import pickle
+
+    from clip_ppo_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    monkeypatch.setenv("CLIP_PPO_CKPT_EXT", ".pt")
+    params = {"w": np.ones((2, 2), np.float32)}
+    opt_state = {"m": np.zeros(2, np.float32)}
+    prefix = str(tmp_path / "run")
+    path = save_checkpoint(prefix, params, opt_state, 3, 4096, {"seed": 1})
+    assert path.endswith("_step_4096.pt")
+    assert (tmp_path / "run_latest.pt").exists()
+    final = save_checkpoint(prefix, params, opt_state, 5, 8192, {"seed": 1},
+                            final=True)
+    assert final.endswith("_final.pt")
+    with open(final, "rb") as f:
+        ckpt = pickle.load(f)
+    assert ckpt["training_complete"] is True
+    p2, o2, it, gs, _ = load_checkpoint(final, params, opt_state)
+    assert it == 5 and gs == 8192

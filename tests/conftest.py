@@ -24,3 +24,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compilation cache: the suite compiles hundreds of
+# programs deterministically; caching them across runs cuts repeat suite
+# time substantially on this single-CPU box.
+_cache_dir = os.environ.get("CLIP_PPO_TEST_JAX_CACHE", "/tmp/clip_ppo_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs — caching is best-effort
+    pass

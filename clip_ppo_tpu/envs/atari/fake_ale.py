@@ -11,14 +11,17 @@ RAM addresses the description generator reads
 (`clip_ppo_atari.py:302-367`: score digits at RAM[36-38], ball at
 (RAM[99], RAM[101]), paddle at RAM[72], lives at RAM[57]&0x7).
 
-Register with :func:`register` and use env id ``FakeALE/Breakout-v5``
-with ``--env-backend ale``; the adapter accepts any gymnasium-registered
-ALE-compatible id without importing ale_py.
+Register with :func:`register` and use env ids ``FakeALE/Breakout-v5`` /
+``FakeALE/Pong-v5`` with ``--env-backend ale``; the adapter accepts any
+gymnasium-registered ALE-compatible id without importing ale_py.
 
-The game itself: a 210x160 RGB paddle/ball/bricks toy with FIRE-to-serve,
-five lives, and per-brick score — enough structure that NOOP-heavy
-policies lose and paddle-tracking policies score, so training signal is
-real (if simple).
+The games themselves are 210x160 RGB toys — Breakout: paddle/ball/bricks
+with FIRE-to-serve, five lives, per-brick score; Pong: two paddles to 21
+points with a ball-tracking opponent (Pong exercises the adapter's
+``describe_pong`` RAM path: scores at RAM[13]/[14], ball at
+(RAM[49], RAM[54]), paddles at RAM[51]/[50], and the no-lives EpisodicLife
+behavior). Enough structure that NOOP-heavy policies lose and
+paddle-tracking policies score, so training signal is real (if simple).
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 
 FAKE_ENV_ID = "FakeALE/Breakout-v5"
+FAKE_PONG_ID = "FakeALE/Pong-v5"
 
 # playfield geometry (screen coords, 210 rows x 160 cols)
 _WALL = 8
@@ -70,17 +74,7 @@ class _FakeALEInterface:
         return gray
 
     def getRAM(self) -> np.ndarray:
-        e = self._env
-        ram = np.zeros(128, np.uint8)
-        score = min(e._score, 999)
-        ram[36] = score // 100          # adapter reads digits:
-        ram[37] = (score // 10) % 10    # r[36]*100 + r[37]*10 + r[38]
-        ram[38] = score % 10
-        ram[99] = int(np.clip(e._ball_x, 0, 255))
-        ram[101] = int(np.clip(e._ball_y, 0, 255))
-        ram[72] = int(np.clip(e._paddle_x, 0, 255))
-        ram[57] = e._lives & 0x7
-        return ram
+        return self._env._fill_ram()
 
 
 class FakeBreakoutEnv:
@@ -117,6 +111,18 @@ class FakeBreakoutEnv:
 
             def get_action_meanings(self):
                 return ["NOOP", "FIRE", "RIGHT", "LEFT"]
+
+            def _fill_ram(self) -> np.ndarray:
+                ram = np.zeros(128, np.uint8)
+                score = min(self._score, 999)
+                ram[36] = score // 100          # adapter reads digits:
+                ram[37] = (score // 10) % 10    # r[36]*100 + r[37]*10 + r[38]
+                ram[38] = score % 10
+                ram[99] = int(np.clip(self._ball_x, 0, 255))
+                ram[101] = int(np.clip(self._ball_y, 0, 255))
+                ram[72] = int(np.clip(self._paddle_x, 0, 255))
+                ram[57] = self._lives & 0x7
+                return ram
 
             # -- dynamics ------------------------------------------------
 
@@ -211,8 +217,127 @@ class FakeBreakoutEnv:
         return _Env(render_mode=outer_render_mode, frameskip=outer_frameskip)
 
 
+class FakePongEnv:
+    """Pong toy: player paddle (right) vs a ball-tracking opponent, first
+    to 21. Exposes the Pong RAM addresses the description generator reads
+    (`clip_ppo_atari.py:370-442`). ALE Pong reports ``lives() == 0``
+    throughout, which this reproduces (EpisodicLife then never fires)."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 60}
+
+    def __new__(cls, render_mode=None, frameskip=1):
+        import gymnasium as gym
+
+        outer_render_mode, outer_frameskip = render_mode, frameskip
+
+        class _Env(gym.Env):
+            metadata = cls.metadata
+
+            def __init__(self, render_mode=None, frameskip=1):
+                self.render_mode = render_mode
+                self._frameskip = frameskip
+                self.observation_space = gym.spaces.Box(
+                    0, 255, (210, 160, 3), np.uint8
+                )
+                self.action_space = gym.spaces.Discrete(4)
+                self.ale = _FakeALEInterface(self)
+                self._lives = 0  # ALE Pong has no lives counter
+                self._p_score = 0
+                self._e_score = 0
+                self._player_y = 105.0   # right paddle
+                self._enemy_y = 105.0    # left paddle
+                self._ball_x = 80.0
+                self._ball_y = 105.0
+                self._vx = 0.0
+                self._vy = 0.0
+                self._serve_timer = 0
+
+            def get_action_meanings(self):
+                return ["NOOP", "FIRE", "RIGHT", "LEFT"]
+
+            def _fill_ram(self) -> np.ndarray:
+                ram = np.zeros(128, np.uint8)
+                ram[13] = min(self._p_score, 255)   # player score
+                ram[14] = min(self._e_score, 255)   # enemy score
+                ram[49] = int(np.clip(self._ball_x, 0, 255))
+                ram[54] = int(np.clip(self._ball_y, 0, 255))
+                ram[51] = int(np.clip(self._player_y, 0, 255))
+                ram[50] = int(np.clip(self._enemy_y, 0, 255))
+                return ram
+
+            def _serve(self, toward_player: bool):
+                self._ball_x, self._ball_y = 80.0, 105.0
+                self._vx = 2.0 if toward_player else -2.0
+                self._vy = 1.5 if self.np_random.random() < 0.5 else -1.5
+                self._serve_timer = 0
+
+            def step(self, action):
+                reward = 0.0
+                if action == 2:    # RIGHT = up
+                    self._player_y = max(40.0, self._player_y - 4)
+                elif action == 3:  # LEFT = down
+                    self._player_y = min(180.0, self._player_y + 4)
+                if self._vx == 0.0:
+                    self._serve_timer += 1
+                    if action == 1 or self._serve_timer > 40:
+                        self._serve(toward_player=True)
+                else:
+                    # enemy tracks the ball with capped speed (beatable)
+                    self._enemy_y += float(
+                        np.clip(self._ball_y - self._enemy_y, -2.5, 2.5)
+                    )
+                    self._ball_x += self._vx
+                    self._ball_y += self._vy
+                    if self._ball_y <= 40 or self._ball_y >= 180:
+                        self._vy = -self._vy
+                    # paddles at x=140 (player) and x=20 (enemy)
+                    if (self._vx > 0 and 138 <= self._ball_x <= 142
+                            and abs(self._ball_y - self._player_y) <= 10):
+                        self._vx = -abs(self._vx) - 0.1
+                        self._vy += 0.3 * np.sign(self._ball_y - self._player_y)
+                    if (self._vx < 0 and 18 <= self._ball_x <= 22
+                            and abs(self._ball_y - self._enemy_y) <= 10):
+                        self._vx = abs(self._vx) + 0.1
+                    if self._ball_x > 158:   # past the player
+                        self._e_score += 1
+                        reward = -1.0
+                        self._vx = self._vy = 0.0
+                    elif self._ball_x < 2:   # past the enemy
+                        self._p_score += 1
+                        reward = 1.0
+                        self._vx = self._vy = 0.0
+                terminated = self._p_score >= 21 or self._e_score >= 21
+                return self._render_screen(), reward, terminated, False, {}
+
+            def reset(self, *, seed=None, options=None):
+                super().reset(seed=seed)
+                self._p_score = self._e_score = 0
+                self._player_y = self._enemy_y = 105.0
+                self._vx = self._vy = 0.0
+                self._serve_timer = 0
+                self._ball_x, self._ball_y = 80.0, 105.0
+                return self._render_screen(), {}
+
+            def render(self):
+                if self.render_mode == "rgb_array":
+                    return self._render_screen()
+                return None
+
+            def _render_screen(self) -> np.ndarray:
+                s = np.zeros((210, 160, 3), np.uint8)
+                s[:34, :] = s[194:, :] = (236, 236, 236)
+                py, ey = int(self._player_y), int(self._enemy_y)
+                s[max(0, py - 8):py + 8, 140:144] = (92, 186, 92)
+                s[max(0, ey - 8):ey + 8, 16:20] = (213, 130, 74)
+                bx, by = int(self._ball_x), int(self._ball_y)
+                s[max(0, by - 2):by + 2, max(0, bx - 1):bx + 1] = (236, 236, 236)
+                return s
+
+        return _Env(render_mode=outer_render_mode, frameskip=outer_frameskip)
+
+
 def register() -> str:
-    """Idempotently register :data:`FAKE_ENV_ID` with gymnasium."""
+    """Idempotently register the fake env ids with gymnasium."""
     import gymnasium as gym
 
     if FAKE_ENV_ID not in gym.registry:
@@ -220,5 +345,11 @@ def register() -> str:
             id=FAKE_ENV_ID,
             entry_point=FakeBreakoutEnv,
             max_episode_steps=2000,  # raw frames; 500 agent steps at skip-4
+        )
+    if FAKE_PONG_ID not in gym.registry:
+        gym.register(
+            id=FAKE_PONG_ID,
+            entry_point=FakePongEnv,
+            max_episode_steps=8000,  # a 21-point game can run long
         )
     return FAKE_ENV_ID

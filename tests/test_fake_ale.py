@@ -176,3 +176,32 @@ def test_clip_ppo_atari_ale_resume(tmp_path, monkeypatch, tiny_clip_loader):  # 
     out = clip_ppo_atari.train(args2, run_name="fake_resume_b")
     # resumed at iteration 3 of 4 → two more iterations → 32 + 32 new steps
     assert out["global_step"] == 64
+
+
+def test_fake_pong_describe_and_training():
+    """FakeALE/Pong exercises the adapter's describe_pong RAM path and the
+    no-lives EpisodicLife behavior (ALE Pong reports lives() == 0)."""
+    from clip_ppo_tpu.envs.atari.ale_adapter import ALEVectorEnv
+    from clip_ppo_tpu.train import HostTrainer, PPOConfig
+    from clip_ppo_tpu.models import init_agent_params
+
+    env = ALEVectorEnv("FakeALE/Pong-v5", 2)
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (2, 84, 84, 4)
+    rng = np.random.default_rng(0)
+    total_r = 0.0
+    for _ in range(400):
+        a = rng.integers(0, env.num_actions, 2)
+        obs, r, term, trunc, infos = env.step(a)
+        total_r += float(np.sum(r))
+    assert total_r != 0.0, "points should be scored within 400 steps"
+    descs = env.describe()
+    assert len(descs) == 2 and all("Pong" in d for d in descs)
+
+    cfg = PPOConfig(num_envs=2, num_steps=8, num_minibatches=2, update_epochs=1)
+    tr = HostTrainer(cfg, env, num_iterations=2)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=4)
+    st = tr.init_state(params, seed=0)
+    st, scalars, _, _ = tr.run_iteration(st, 1)
+    assert np.isfinite(float(scalars["policy_loss"]))
+    env.close()

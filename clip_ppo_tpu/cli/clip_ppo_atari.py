@@ -251,6 +251,15 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         # frame before concat, `clip_ppo_atari.py:272-299`).
         embed_images_fn = clip_utils.make_multiframe_embed_fn(clip_cfg)
 
+    # RANDOM_ENCODER in-graph (per-frame layout for the image modality,
+    # `process_multiframe_clip_embeddings` with RANDOM mode).
+    embed_random_fn = None
+    if compute_clip and cc.ablation_mode == AblationMode.RANDOM_ENCODER:
+        frames = 4 if cc.clip_modality == "image" else 1
+        embed_random_fn = clip_utils.make_random_embed_fn(
+            args.batch_size, frames=frames
+        )
+
     if args.env_backend == "ale":
         result = _train_ale(
             args, cfg, run_name, writer, recorder, profiler,
@@ -283,6 +292,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         disturbance_semantics="stack_frames",
         features_fn=features_fn,
         embed_images_fn=embed_images_fn,
+        embed_random_fn=embed_random_fn,
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
         frozen_params=frozen_params,
@@ -324,7 +334,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     start_time = time.time()
     last_returns: list[float] = []
 
-    use_split_path = compute_clip and embed_images_fn is None
+    use_split_path = (
+        compute_clip and embed_images_fn is None and embed_random_fn is None
+    )
     iteration = start_iteration
     while iteration <= args.num_iterations:
         if use_split_path:

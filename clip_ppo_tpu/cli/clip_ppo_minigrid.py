@@ -314,6 +314,13 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         else:
             fused_text_path = False
 
+    # RANDOM_ENCODER in-graph: fresh normalized Gaussians per iteration
+    # from the carried PRNG chain (stream differs from the reference's
+    # torch RNG, as any reimplementation's must).
+    embed_random_fn = None
+    if compute_clip and cc.ablation_mode == AblationMode.RANDOM_ENCODER:
+        embed_random_fn = clip_utils.make_random_embed_fn(args.batch_size)
+
     mesh = None
     n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
     if n_dev > 1:
@@ -331,6 +338,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         features_fn=features_fn,
         embed_images_fn=embed_images_fn,
         embed_desc_fn=embed_desc_fn,
+        embed_random_fn=embed_random_fn,
         clip_lambda=cc.clip_lambda,
         capture_env0=args.capture_video,
         frozen_params=frozen_params,
@@ -373,6 +381,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
 
     use_split_path = (
         compute_clip and not fused_image_path and not fused_text_path
+        and embed_random_fn is None
     )
     iteration = start_iteration
     while iteration <= args.num_iterations:

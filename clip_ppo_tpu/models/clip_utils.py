@@ -296,6 +296,23 @@ def make_text_table_embed_fn(height: int):
     return embed
 
 
+def make_random_embed_fn(batch_size: int, embed_dim: int = 512,
+                         frames: int = 1):
+    """In-graph RANDOM_ENCODER embeddings (`clip_ppo_utils.py:126-129`):
+    ``(key) -> [batch_size, frames·embed_dim]`` normalized Gaussians —
+    per-frame normalized then concatenated for the Atari multi-frame
+    layout (`process_multiframe_clip_embeddings` with RANDOM mode)."""
+
+    def embed(key: jax.Array) -> jax.Array:
+        emb = jax.random.normal(
+            key, (batch_size * frames, embed_dim), jnp.float32
+        )
+        emb = l2_normalize(emb)
+        return emb.reshape(batch_size, frames * embed_dim)
+
+    return embed
+
+
 def verbose_debug_print(
     iteration: int,
     clip_lambda: float,

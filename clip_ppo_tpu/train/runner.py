@@ -56,6 +56,9 @@ class Trainer:
             snapshots (e.g. a precomputed MiniGrid description table,
             `clip_utils.make_text_table_embed_fn`) — makes the text
             modality fully fused, no host tokenization in the loop.
+        embed_random_fn: optional in-graph RANDOM_ENCODER embedding
+            function ``(key) -> [B, D]`` (normalized Gaussians per
+            iteration) — fuses the random ablation as well.
         clip_lambda: target λ for the alignment loss (warmup applied here,
             `clip_ppo_utils.py:26-46`).
         clip_warmup_fraction: fraction of iterations for linear λ warmup.
@@ -76,6 +79,7 @@ class Trainer:
         features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
         embed_images_fn: Optional[Callable] = None,
         embed_desc_fn: Optional[Callable] = None,
+        embed_random_fn: Optional[Callable] = None,
         clip_lambda: float = 0.0,
         clip_warmup_fraction: float = 0.2,
         capture_env0: bool = False,
@@ -105,6 +109,7 @@ class Trainer:
         self.features_fn = features_fn
         self.embed_images_fn = embed_images_fn
         self.embed_desc_fn = embed_desc_fn
+        self.embed_random_fn = embed_random_fn
         self.clip_lambda = clip_lambda
         self.clip_warmup_fraction = clip_warmup_fraction
         # Surface env 0's rollout frames for video capture (RecordVideo
@@ -323,6 +328,14 @@ class Trainer:
                 clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
         elif self.embed_desc_fn is not None:
             clip_embeddings = self.embed_desc_fn(batch.desc, frozen)
+        elif self.embed_random_fn is not None:
+            # RANDOM_ENCODER ablation in-graph: fresh normalized Gaussian
+            # embeddings per iteration from the carried PRNG chain
+            # (`clip_ppo_utils.py:126-129`; the stream differs from the
+            # reference's torch RNG, as any reimplementation's must).
+            key, k_emb = jax.random.split(state.key)
+            state = dataclasses.replace(state, key=key)
+            clip_embeddings = self.embed_random_fn(k_emb)
         state, scalars = self._update(state, flat, iteration, clip_embeddings, frozen)
         episode_stats = self._episode_stats(batch)
         return state, scalars, episode_stats

@@ -27,6 +27,15 @@ from clip_ppo_tpu.train import gae as gae_mod
 from clip_ppo_tpu.train import ppo as ppo_mod
 from clip_ppo_tpu.train import rollout as rollout_mod
 
+# The fixed, sorted set of per-iteration log scalars produced by _update.
+# A module-level constant (not a trace-time side effect) so
+# fetch_logs_chunk works without a prior run in the same Trainer.
+SCALAR_KEYS = (
+    "approx_kl", "clip_loss", "clipfrac", "entropy", "explained_variance",
+    "first_clip_loss", "first_entropy", "first_pg_loss", "first_v_loss",
+    "learning_rate", "old_approx_kl", "policy_loss", "value_loss",
+)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -123,13 +132,35 @@ class Trainer:
         # HTTP 413), and carrying them inside the donated TrainState would
         # invalidate the host's references to the same buffers.
         self.frozen_params = frozen_params
+        # Outer-graph feature trunk: under a mesh, Pallas-bearing trunks
+        # (FROZEN_CLIP's ViT encode) are run per-shard via shard_map — a
+        # Pallas custom call has no GSPMD partitioning rule, so left in the
+        # global graph XLA would all-gather the dp-sharded batch onto every
+        # device before encoding. The raw features_fn is still used inside
+        # the (already shard_map'd) update.
+        self.outer_features_fn = (
+            features_fn if mesh is None else self._shard_features(features_fn)
+        )
         self.optimizer = ppo_mod.make_optimizer(cfg)
         self._jit_pack_logs = jax.jit(self._pack_logs)
         self._jit_iteration = jax.jit(self._iteration, donate_argnums=(0,))
         self._jit_rollout_half = jax.jit(self._rollout_half, donate_argnums=(0,))
         self._jit_update_half = jax.jit(self._update_half, donate_argnums=(0,))
         self._jit_chunks: dict[int, Callable] = {}
-        self._scalar_key_order: Optional[tuple[str, ...]] = None
+
+    def _shard_features(self, fn: agent_mod.FeatureFn) -> agent_mod.FeatureFn:
+        """Wrap a feature trunk so it runs per-shard over the ``dp`` axis
+        (params/frozen replicated, batch axis sharded). At dp=1 this is the
+        unwrapped trunk exactly."""
+        from jax.sharding import PartitionSpec as P
+
+        def outer(params: dict, obs: jax.Array, frozen) -> jax.Array:
+            return jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(P(), P("dp"), P()),
+                out_specs=P("dp"), check_vma=False,
+            )(params, obs, frozen)
+
+        return outer
 
     # -- initialization ------------------------------------------------------
 
@@ -197,7 +228,7 @@ class Trainer:
             self.cfg.num_steps,
             self.disturbance,
             self.disturbance_semantics,
-            self.features_fn,
+            self.outer_features_fn,
             self.capture_env0,
             frozen,
         )
@@ -206,26 +237,37 @@ class Trainer:
         )
         return state, batch
 
-    def _flatten(self, state: TrainState, batch: rollout_mod.RolloutBatch, frozen):
+    def _data2d(self, state: TrainState, batch: rollout_mod.RolloutBatch,
+                frozen) -> dict:
+        """GAE + the update inputs in rollout layout ([T, N, ...], env axis
+        dp-sharded under a mesh). Flattening to the reference's t-major
+        [T·N] batch happens late — inside the shard_mapped update body for
+        the mesh path — so the dp-sharded batch is consumed shard-local
+        with no cross-device reshard (each device flattens its own
+        [T, N/dp] block)."""
         next_value = agent_mod.get_value(
-            state.params, state.obs, self.features_fn, frozen
+            state.params, state.obs, self.outer_features_fn, frozen
         )
         advantages, returns = gae_mod.compute_gae(
             batch.rewards, batch.values, batch.dones,
             next_value, state.next_done, self.cfg.gamma, self.cfg.gae_lambda,
         )
-        bs = self.cfg.batch_size
-        flat = {
-            "obs": batch.obs.reshape((bs,) + batch.obs.shape[2:]),
-            "actions": batch.actions.reshape(bs),
-            "logprobs": batch.logprobs.reshape(bs),
-            "advantages": advantages.reshape(bs),
-            "returns": returns.reshape(bs),
-            "values": batch.values.reshape(bs),
+        return {
+            "obs": batch.obs,
+            "actions": batch.actions.astype(jnp.int32),
+            "logprobs": batch.logprobs,
+            "advantages": advantages,
+            "returns": returns,
+            "values": batch.values,
         }
-        return flat
 
-    def _update(self, state: TrainState, flat: dict, iteration: jax.Array,
+    @staticmethod
+    def _flatten(data: dict) -> dict:
+        """[T, N, ...] → t-major [T·N, ...] (the reference's b_* layout,
+        `ppo_minigrid.py:291-296`)."""
+        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in data.items()}
+
+    def _update(self, state: TrainState, data: dict, iteration: jax.Array,
                 clip_embeddings: Optional[jax.Array], frozen=None):
         lr = (
             ppo_mod.anneal_lr(self.cfg, iteration, self.num_iterations)
@@ -236,14 +278,22 @@ class Trainer:
         key, k_update = jax.random.split(state.key)
         if self.mesh is None:
             params, opt_state, metrics = ppo_mod.update_epochs(
-                state.params, opt_state, flat, k_update, self.cfg, self.optimizer,
+                state.params, opt_state, self._flatten(data), k_update,
+                self.cfg, self.optimizer,
                 self.features_fn, clip_embeddings,
                 self.clip_lambda_eff(iteration),
                 frozen=frozen,
             )
         else:
+            if clip_embeddings is not None and clip_embeddings.ndim == 2:
+                # host-computed [T·N, D] t-major embeddings (split-text
+                # path) → rollout layout so they pair with the dp-sharded
+                # batch inside the update body.
+                clip_embeddings = clip_embeddings.reshape(
+                    (self.cfg.num_steps, self.cfg.num_envs, -1)
+                )
             params, opt_state, metrics = self._update_sharded(
-                state.params, opt_state, flat, k_update, clip_embeddings,
+                state.params, opt_state, data, k_update, clip_embeddings,
                 self.clip_lambda_eff(iteration), frozen,
             )
         state = dataclasses.replace(
@@ -258,7 +308,7 @@ class Trainer:
             "approx_kl": metrics.approx_kl,
             "clipfrac": metrics.clipfrac,
             "explained_variance": ppo_mod.explained_variance(
-                flat["values"], flat["returns"]
+                data["values"], data["returns"]
             ),
             "clip_loss": metrics.clip_loss,
             # first minibatch of the first epoch, for the reference's
@@ -270,32 +320,41 @@ class Trainer:
         }
         return state, scalars
 
-    def _update_sharded(self, params, opt_state, flat, key, clip_embeddings,
+    def _update_sharded(self, params, opt_state, data, key, clip_embeddings,
                         lam, frozen):
         """Data-parallel PPO update as one `shard_map` over the ``dp`` axis.
 
-        Each device permutes and minibatches its LOCAL batch shard
-        (sharded-gather-free — a global `v[perm]` over a dp-sharded batch
-        forces GSPMD into cross-device gathers every epoch), and gradients
-        are `pmean`'d per minibatch so parameter updates stay replicated.
-        At dp=1 this reduces to the replicated update exactly.
+        Inputs arrive in rollout layout ([T, N, ...], env axis sharded on
+        ``dp``) and each device flattens its OWN [T, N/dp] block t-major
+        inside the body — so the update consumes the rollout's shards
+        directly, with no cross-device reshard (a global t-major flatten
+        of a dp-sharded [T, N] batch is an all-to-all every iteration).
+        Each device then permutes and minibatches its local batch, and
+        gradients are `pmean`'d per minibatch so parameter updates stay
+        replicated. At dp=1 the local flatten IS the reference's global
+        t-major flatten, so this reduces to the replicated update exactly.
         """
         from jax.sharding import PartitionSpec as P
 
         dp = self.mesh.shape["dp"]
         local_cfg = dataclasses.replace(self.cfg, num_envs=self.cfg.num_envs // dp)
 
-        def body(params, opt_state, flat, key, clip_embeddings, lam, frozen):
+        def body(params, opt_state, data, key, clip_embeddings, lam, frozen):
             if dp > 1:  # decorrelate per-device shuffles (identity at dp=1
                 # so dp=1 reduces to the reference update bit-for-bit)
                 key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            flat = self._flatten(data)
+            emb = (
+                None if clip_embeddings is None
+                else clip_embeddings.reshape((-1,) + clip_embeddings.shape[2:])
+            )
             return ppo_mod.update_epochs(
                 params, opt_state, flat, key, local_cfg, self.optimizer,
-                self.features_fn, clip_embeddings, lam, frozen=frozen,
+                self.features_fn, emb, lam, frozen=frozen,
                 axis_name="dp",
             )
 
-        rep, sh = P(), P("dp")
+        rep, sh = P(), P(None, "dp")
         return jax.shard_map(
             body,
             mesh=self.mesh,
@@ -303,31 +362,60 @@ class Trainer:
                       rep if clip_embeddings is None else sh, rep, rep),
             out_specs=(rep, rep, rep),
             check_vma=False,
-        )(params, opt_state, flat, key, clip_embeddings, lam, frozen)
+        )(params, opt_state, data, key, clip_embeddings, lam, frozen)
+
+    def _embed_sharded(self, fn: Callable, x, frozen) -> jax.Array:
+        """Run a flat-batch embedding fn per-shard over rollout-layout
+        inputs (leading axes [T, N], env axis on ``dp``): each device
+        flattens its local [T, N/dp] block t-major, embeds it (the Pallas
+        ViT encode has no GSPMD partitioning rule), and returns
+        [T, N/dp, D]. At dp=1 this is exactly the global flat encode."""
+        from jax.sharding import PartitionSpec as P
+
+        def embed2d(x_local, frozen):
+            leaf = jax.tree_util.tree_leaves(x_local)[0]
+            t, n = leaf.shape[:2]
+            flat = jax.tree_util.tree_map(
+                lambda v: v.reshape((t * n,) + v.shape[2:]), x_local
+            )
+            emb = fn(flat, frozen)
+            return emb.reshape(t, n, -1)
+
+        return jax.shard_map(
+            embed2d, mesh=self.mesh, in_specs=(P(None, "dp"), P()),
+            out_specs=P(None, "dp"), check_vma=False,
+        )(x, frozen)
 
     def _iteration(self, state: TrainState, iteration: jax.Array, frozen):
         state, batch = self._rollout(state, frozen)
-        flat = self._flatten(state, batch, frozen)
+        data = self._data2d(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:
             if self.mesh is not None:
-                # run the CLIP encode per-shard under shard_map: a Pallas
-                # custom call has no GSPMD partitioning rule, so left in
-                # the global graph XLA would all-gather the dp-sharded
-                # batch onto every device before encoding.
+                clip_embeddings = self._embed_sharded(
+                    self.embed_images_fn, batch.obs, frozen
+                )
+            else:
+                b_obs = data["obs"].reshape((-1,) + data["obs"].shape[2:])
+                clip_embeddings = self.embed_images_fn(b_obs, frozen)
+        elif self.embed_desc_fn is not None:
+            if self.mesh is not None:
+                # embed_desc_fn already consumes [T, N] state snapshots and
+                # flattens t-major internally, so per-shard it produces the
+                # local [T·N/dp, D] block directly.
                 from jax.sharding import PartitionSpec as P
 
+                def desc2d(desc_local, frozen):
+                    t = jax.tree_util.tree_leaves(desc_local)[0].shape[0]
+                    emb = self.embed_desc_fn(desc_local, frozen)
+                    return emb.reshape((t, -1, emb.shape[-1]))
+
                 clip_embeddings = jax.shard_map(
-                    self.embed_images_fn,
-                    mesh=self.mesh,
-                    in_specs=(P("dp"), P()),
-                    out_specs=P("dp"),
-                    check_vma=False,
-                )(flat["obs"], frozen)
+                    desc2d, mesh=self.mesh, in_specs=(P(None, "dp"), P()),
+                    out_specs=P(None, "dp"), check_vma=False,
+                )(batch.desc, frozen)
             else:
-                clip_embeddings = self.embed_images_fn(flat["obs"], frozen)
-        elif self.embed_desc_fn is not None:
-            clip_embeddings = self.embed_desc_fn(batch.desc, frozen)
+                clip_embeddings = self.embed_desc_fn(batch.desc, frozen)
         elif self.embed_random_fn is not None:
             # RANDOM_ENCODER ablation in-graph: fresh normalized Gaussian
             # embeddings per iteration from the carried PRNG chain
@@ -336,15 +424,24 @@ class Trainer:
             key, k_emb = jax.random.split(state.key)
             state = dataclasses.replace(state, key=key)
             clip_embeddings = self.embed_random_fn(k_emb)
-        state, scalars = self._update(state, flat, iteration, clip_embeddings, frozen)
-        episode_stats = self._episode_stats(batch)
+            if self.mesh is not None:
+                clip_embeddings = clip_embeddings.reshape(
+                    (self.cfg.num_steps, self.cfg.num_envs, -1)
+                )
+        state, scalars = self._update(state, data, iteration, clip_embeddings, frozen)
+        episode_stats = self._episode_stats(batch, data["returns"])
         return state, scalars, episode_stats
 
-    def _episode_stats(self, batch: rollout_mod.RolloutBatch) -> dict:
+    def _episode_stats(self, batch: rollout_mod.RolloutBatch,
+                       returns: jax.Array) -> dict:
         stats = {
             "done_mask": batch.done_mask,
             "episode_return": batch.episode_return,
             "episode_length": batch.episode_length,
+            # GAE returns in rollout layout; the host flattens t-major to
+            # the reference's ``b_returns`` for checkpoint payloads
+            # (`shared/checkpoint_utils.py:21-29`).
+            "returns": returns,
         }
         if self.capture_env0:
             stats["env0_frames"] = batch.video
@@ -390,20 +487,28 @@ class Trainer:
         per-iteration ``(scalars_np, stats_np)`` pairs matching
         :meth:`fetch_logs` output."""
         sc, ep, video, dones0 = jax.device_get(packed)
-        keys = self._scalar_key_order
         out = []
         for i in range(sc.shape[0]):
-            scalars_np = {name: sc[i, j] for j, name in enumerate(keys)}
-            stats_np = {
-                "done_mask": ep[i, 0].astype(bool),
-                "episode_return": ep[i, 1],
-                "episode_length": ep[i, 2].astype(np.int32),
-            }
-            if video is not None:
-                stats_np["env0_frames"] = np.asarray(video[i])
-                stats_np["env0_dones"] = np.asarray(dones0[i]).astype(bool)
+            scalars_np = {name: sc[i, j] for j, name in enumerate(SCALAR_KEYS)}
+            stats_np = self._unpack_stats(ep[i], video, dones0, i)
             out.append((scalars_np, stats_np))
         return out
+
+    @staticmethod
+    def _unpack_stats(ep, video, dones0, i: Optional[int] = None) -> dict:
+        stats_np = {
+            "done_mask": ep[0].astype(bool),
+            "episode_return": ep[1],
+            "episode_length": ep[2].astype(np.int32),
+            # t-major flatten of the GAE returns = the reference's
+            # b_returns [batch_size] (`ppo_minigrid.py:291-296`).
+            "b_returns": ep[3].reshape(-1),
+        }
+        if video is not None:
+            v, d = (video, dones0) if i is None else (video[i], dones0[i])
+            stats_np["env0_frames"] = np.asarray(v)
+            stats_np["env0_dones"] = np.asarray(d).astype(bool)
+        return stats_np
 
     # -- host log fetch --------------------------------------------------------
 
@@ -414,15 +519,14 @@ class Trainer:
         TPUs: ~0.1-0.5 s per LEAF observed), so the ~13 small log leaves
         are packed on device and fetched as 2-3 buffers.
         """
-        self._scalar_key_order = tuple(sorted(scalars))
-        sc = jnp.stack(
-            [scalars[k].astype(jnp.float32) for k in sorted(scalars)]
-        )
+        assert set(scalars) == set(SCALAR_KEYS), sorted(scalars)
+        sc = jnp.stack([scalars[k].astype(jnp.float32) for k in SCALAR_KEYS])
         ep = jnp.stack(
             [
                 episode_stats["done_mask"].astype(jnp.float32),
                 episode_stats["episode_return"].astype(jnp.float32),
                 episode_stats["episode_length"].astype(jnp.float32),
+                episode_stats["returns"].astype(jnp.float32),
             ]
         )
         video = episode_stats.get("env0_frames")
@@ -432,39 +536,32 @@ class Trainer:
     def fetch_logs(self, scalars: dict, episode_stats: dict):
         """One packed device→host fetch; returns numpy-backed dicts with
         the same keys as the inputs."""
-        import numpy as np
-
         sc, ep, video, dones0 = jax.device_get(
             self._jit_pack_logs(scalars, episode_stats)
         )
-        scalars_np = {k: sc[i] for i, k in enumerate(sorted(scalars))}
-        stats_np = {
-            "done_mask": ep[0].astype(bool),
-            "episode_return": ep[1],
-            "episode_length": ep[2].astype(np.int32),
-        }
-        if video is not None:
-            stats_np["env0_frames"] = np.asarray(video)
-            stats_np["env0_dones"] = np.asarray(dones0).astype(bool)
-        return scalars_np, stats_np
+        scalars_np = {k: sc[i] for i, k in enumerate(SCALAR_KEYS)}
+        return scalars_np, self._unpack_stats(ep, video, dones0)
 
     # -- split path (text modality: host descriptions between halves) ---------
 
     def _rollout_half(self, state: TrainState, frozen):
         state, batch = self._rollout(state, frozen)
-        flat = self._flatten(state, batch, frozen)
-        return state, flat, self._episode_stats(batch), batch.desc
+        data = self._data2d(state, batch, frozen)
+        return state, data, self._episode_stats(batch, data["returns"]), batch.desc
 
-    def _update_half(self, state: TrainState, flat: dict, iteration: jax.Array,
+    def _update_half(self, state: TrainState, data: dict, iteration: jax.Array,
                      clip_embeddings: Optional[jax.Array], frozen):
-        return self._update(state, flat, iteration, clip_embeddings, frozen)
+        return self._update(state, data, iteration, clip_embeddings, frozen)
 
     def run_rollout_half(self, state: TrainState):
+        """Returns (state, data, episode_stats, desc) — ``data`` is the
+        opaque update payload for :meth:`run_update_half` (rollout-layout
+        [T, N, ...] arrays)."""
         return self._jit_rollout_half(state, self.frozen_params)
 
-    def run_update_half(self, state, flat, iteration: int, clip_embeddings):
+    def run_update_half(self, state, data, iteration: int, clip_embeddings):
         return self._jit_update_half(
-            state, flat, jnp.int32(iteration), clip_embeddings, self.frozen_params
+            state, data, jnp.int32(iteration), clip_embeddings, self.frozen_params
         )
 
 

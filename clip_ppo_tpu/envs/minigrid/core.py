@@ -65,12 +65,19 @@ NUM_ACTIONS = 7
 class EnvParams:
     """Static environment configuration (hashable; safe as a jit static arg)."""
 
-    kind: str  # "empty" | "doorkey"
+    kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom" | "crossing"
     width: int
     height: int
     max_steps: int
     see_through_walls: bool
     random_start: bool = False  # Empty-Random variants
+    # MultiRoom-N{n}[-S{s}] family
+    min_rooms: int = 0
+    max_rooms: int = 0
+    max_room_size: int = 0
+    # {Simple,Lava}CrossingS{n}N{k} family
+    num_crossings: int = 0
+    obstacle: int = 0  # WALL (SimpleCrossing) or LAVA (LavaCrossing)
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -93,9 +100,35 @@ class EnvState:
 def parse_env_id(env_id: str) -> EnvParams:
     """Map a MiniGrid env id string to EnvParams.
 
-    Supports ``MiniGrid-Empty-NxN-v0``, ``MiniGrid-Empty-Random-NxN-v0``
-    and ``MiniGrid-DoorKey-NxN-v0``.
+    Supported families (the reference trains any registered id via
+    ``gym.make``, `ppo_minigrid.py:106-119`; these cover its experiment
+    grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
+    ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
+    ``SimpleCrossingSsNn`` and ``LavaCrossingSsNn``. Unknown ids raise
+    with the supported list.
     """
+    m = re.match(r"MiniGrid-MultiRoom-N(\d+)(?:-S(\d+))?(-v\d+)?$", env_id)
+    if m:
+        # MultiRoomEnv(minNumRooms=n, maxNumRooms=n, maxRoomSize=s or 10):
+        # 25×25 grid, max_steps = maxNumRooms·20 (upstream multiroom.py;
+        # registered ids N2-S4, N4-S5, N6).
+        n = int(m.group(1))
+        s = int(m.group(2)) if m.group(2) else 10
+        return EnvParams(
+            "multiroom", 25, 25, n * 20, False,
+            min_rooms=n, max_rooms=n, max_room_size=s,
+        )
+    m = re.match(r"MiniGrid-(Simple|Lava)CrossingS(\d+)N(\d+)(-v\d+)?$", env_id)
+    if m:
+        # CrossingEnv(size, num_crossings, obstacle_type=Wall|Lava):
+        # max_steps = 4·size² (upstream crossing.py; registered sizes
+        # S9N{1,2,3} and S11N5).
+        size = int(m.group(2))
+        return EnvParams(
+            "crossing", size, size, 4 * size * size, False,
+            num_crossings=int(m.group(3)),
+            obstacle=WALL if m.group(1) == "Simple" else LAVA,
+        )
     if re.match(r"MiniGrid-FourRooms(-v\d+)?$", env_id):
         # FourRoomsEnv: 19×19, four rooms with one random gap per shared
         # wall segment, random agent + goal, max_steps=100 (the env the
@@ -111,7 +144,13 @@ def parse_env_id(env_id: str) -> EnvParams:
         return EnvParams("lavagap", size, size, 4 * size * size, False)
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
-        raise ValueError(f"unsupported MiniGrid env id: {env_id!r}")
+        raise ValueError(
+            f"unsupported MiniGrid env id: {env_id!r}. Supported families: "
+            "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
+            "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
+            "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn "
+            "(each with an optional -vK suffix)."
+        )
     kind = m.group(1).lower()
     random_start = m.group(2) is not None
     size = int(m.group(3))
@@ -299,6 +338,283 @@ def _reset_lavagap(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _multiroom_trial(params: EnvParams, key: jax.Array):
+    """One chain-placement attempt of the MultiRoom generator.
+
+    Mirrors upstream ``MultiRoomEnv._placeRoom`` (minigrid multiroom.py):
+    despite its recursive shape, the upstream code returns True whenever a
+    room was appended (deeper failures never unwind), so it is exactly a
+    greedy chain — each next room gets up to 8 (exit-door, size, offset)
+    proposals checked for bounds (the asymmetric ``> width`` / ``>= height``
+    quirk included) and overlap against all rooms but the immediately
+    previous one (``roomList[:-1]``). Returns (count, rooms [Nmax,4] as
+    (topX, topY, sizeX, sizeY), entry_walls [Nmax], doors [Nmax,2]).
+    """
+    w, h = params.width, params.height
+    n_max = params.max_rooms
+    s_max = params.max_room_size
+    k_entry, k_sz, key = jax.random.split(key, 3)
+    entry = jax.random.randint(k_entry, (2,), 0, w - 2)
+    k_sx, k_sy = jax.random.split(k_sz)
+    sx = jax.random.randint(k_sx, (), 4, s_max + 1)
+    sy = jax.random.randint(k_sy, (), 4, s_max + 1)
+    ok0 = (entry[0] + sx <= w) & (entry[1] + sy < h)
+    rooms = jnp.zeros((n_max, 4), jnp.int32)
+    rooms = rooms.at[0].set(jnp.stack([entry[0], entry[1], sx, sy]))
+    walls = jnp.zeros((n_max,), jnp.int32).at[0].set(2)  # entryDoorWall=2
+    doors = jnp.zeros((n_max, 2), jnp.int32).at[0].set(entry)
+    count = jnp.where(ok0, 1, 0).astype(jnp.int32)
+
+    def attempt(carry, akey):
+        rooms, walls, doors, count, placed, i = carry
+        prev = rooms[i - 1]
+        ptx, pty, psx, psy = prev[0], prev[1], prev[2], prev[3]
+        prev_wall = walls[i - 1]
+        k_wall, k_dx, k_dy, k_sx, k_sy, k_tx, k_ty = jax.random.split(akey, 7)
+        # exit wall: uniform over sorted({0,1,2,3} - {entry wall}).
+        r = jax.random.randint(k_wall, (), 0, 3)
+        exit_wall = r + (r >= prev_wall).astype(jnp.int32)
+        next_wall = (exit_wall + 2) % 4
+        # exit door on the chosen wall of the previous room.
+        dx = ptx + jax.random.randint(k_dx, (), 1, psx - 1)
+        dy = pty + jax.random.randint(k_dy, (), 1, psy - 1)
+        ex = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [ptx + psx - 1, dx, ptx, dx],
+        )
+        ey = jnp.select(
+            [exit_wall == 0, exit_wall == 1, exit_wall == 2, exit_wall == 3],
+            [dy, pty + psy - 1, dy, pty],
+        )
+        # next room size + top-left per its entry wall (upstream ranges:
+        # _rand_int(c - size + 2, c) → [c-size+2, c-1]).
+        nsx = jax.random.randint(k_sx, (), 4, s_max + 1)
+        nsy = jax.random.randint(k_sy, (), 4, s_max + 1)
+        rand_tx = jax.random.randint(k_tx, (), ex - nsx + 2, ex)
+        rand_ty = jax.random.randint(k_ty, (), ey - nsy + 2, ey)
+        ntx = jnp.select(
+            [next_wall == 0, next_wall == 1, next_wall == 2, next_wall == 3],
+            [ex - nsx + 1, rand_tx, ex, rand_tx],
+        )
+        nty = jnp.select(
+            [next_wall == 0, next_wall == 1, next_wall == 2, next_wall == 3],
+            [rand_ty, ey - nsy + 1, rand_ty, ey],
+        )
+        ok = (ntx >= 0) & (nty >= 0) & (ntx + nsx <= w) & (nty + nsy < h)
+        # overlap vs all rooms but the previous (asymmetric < / <= kept).
+        others = jnp.arange(n_max) < (i - 1)
+        otx, oty, osx, osy = rooms[:, 0], rooms[:, 1], rooms[:, 2], rooms[:, 3]
+        non_overlap = (
+            (ntx + nsx < otx) | (otx + osx <= ntx)
+            | (nty + nsy < oty) | (oty + osy <= nty)
+        )
+        ok = ok & jnp.all(non_overlap | ~others)
+        commit = ok & ~placed & (count == i)
+        rooms = jnp.where(
+            commit, rooms.at[i].set(jnp.stack([ntx, nty, nsx, nsy])), rooms
+        )
+        walls = jnp.where(commit, walls.at[i].set(next_wall), walls)
+        doors = jnp.where(commit, doors.at[i].set(jnp.stack([ex, ey])), doors)
+        count = jnp.where(commit, i + 1, count)
+        return (rooms, walls, doors, count, placed | ok, i), None
+
+    def place(carry, inp):
+        rooms, walls, doors, count = carry
+        i, pkey = inp
+        akeys = jax.random.split(pkey, 8)
+        (rooms, walls, doors, count, _, _), _ = jax.lax.scan(
+            attempt, (rooms, walls, doors, count, jnp.bool_(False), i), akeys
+        )
+        return (rooms, walls, doors, count), None
+
+    if n_max > 1:
+        pkeys = jax.random.split(key, n_max - 1)
+        (rooms, walls, doors, count), _ = jax.lax.scan(
+            place, (rooms, walls, doors, count),
+            (jnp.arange(1, n_max), pkeys),
+        )
+    return count, rooms, walls, doors
+
+
+def _reset_multiroom(params: EnvParams, key: jax.Array) -> EnvState:
+    """MultiRoom-N{n}[-S{s}]: a chain of connected rooms with colored doors
+    (upstream minigrid multiroom.py; 25×25 grid, no outer border — the
+    rooms' own walls enclose the agent). The keep-best retry loop mirrors
+    upstream's ``while len(roomList) < numRooms``; the RNG stream differs,
+    as any reimplementation's must."""
+    w, h = params.width, params.height
+    n_max = params.max_rooms
+
+    key, k_doors, k_agent, k_dir, k_goal, k_next = jax.random.split(key, 6)
+
+    def cond(c):
+        best_count, _, _, _, trials, _ = c
+        return (best_count < n_max) & (trials < 64)
+
+    def body(c):
+        best_count, best_rooms, best_walls, best_doors, trials, key = c
+        key, k_trial = jax.random.split(key)
+        count, rooms, walls, doors = _multiroom_trial(params, k_trial)
+        better = count > best_count
+        return (
+            jnp.where(better, count, best_count),
+            jnp.where(better, rooms, best_rooms),
+            jnp.where(better, walls, best_walls),
+            jnp.where(better, doors, best_doors),
+            trials + 1,
+            key,
+        )
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((n_max, 4), jnp.int32),
+        jnp.zeros((n_max,), jnp.int32),
+        jnp.zeros((n_max, 2), jnp.int32),
+        jnp.int32(0),
+        key,
+    )
+    count, rooms, _, doors, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Render: empty grid (no border), room wall rectangles in placement
+    # order, each room's entry door set right after its walls (upstream
+    # interleaves exactly so).
+    grid = jnp.zeros((w, h, 3), jnp.int8).at[..., 0].set(EMPTY)
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    wall_cell = jnp.asarray([WALL, GREY, 0], dtype=jnp.int8)
+    door_keys = jax.random.split(k_doors, max(n_max, 2))
+    prev_color = jnp.int32(-1)
+    for i in range(n_max):
+        tx, ty = rooms[i, 0], rooms[i, 1]
+        sx, sy = rooms[i, 2], rooms[i, 3]
+        inside = (xs >= tx) & (xs < tx + sx) & (ys >= ty) & (ys < ty + sy)
+        border = inside & (
+            (xs == tx) | (xs == tx + sx - 1) | (ys == ty) | (ys == ty + sy - 1)
+        )
+        valid = i < count
+        grid = jnp.where((border & valid)[..., None], wall_cell, grid)
+        if i > 0:
+            # door color ≠ previous door's color (uniform over the rest).
+            if i == 1:
+                c = jax.random.randint(door_keys[i], (), 0, 6)
+            else:
+                c = jax.random.randint(door_keys[i], (), 0, 5)
+                c = c + (c >= prev_color).astype(jnp.int32)
+            dcell = jnp.stack(
+                [jnp.int8(DOOR), c.astype(jnp.int8), jnp.int8(CLOSED)]
+            )
+            grid = jnp.where(valid, grid.at[doors[i, 0], doors[i, 1]].set(dcell), grid)
+            prev_color = c
+
+    # Agent: uniform over empty cells of the first room; goal: uniform over
+    # empty cells of the last room, not the agent's cell (upstream
+    # place_agent then place_obj(Goal) order).
+    first = rooms[0]
+    in_first = (
+        (xs >= first[0]) & (xs < first[0] + first[2])
+        & (ys >= first[1]) & (ys < first[1] + first[3])
+    )
+    empty = grid[..., 0] == EMPTY
+    agent_pos = _sample_free_cell(k_agent, in_first & empty)
+    agent_dir = jax.random.randint(k_dir, (), 0, 4)
+    last = rooms[jnp.maximum(count - 1, 0)]
+    in_last = (
+        (xs >= last[0]) & (xs < last[0] + last[2])
+        & (ys >= last[1]) & (ys < last[1] + last[3])
+    )
+    not_agent = ~((xs == agent_pos[0]) & (ys == agent_pos[1]))
+    goal_pos = _sample_free_cell(k_goal, in_last & empty & not_agent)
+    grid = grid.at[goal_pos[0], goal_pos[1]].set(
+        jnp.asarray([GOAL, GREEN, 0], dtype=jnp.int8)
+    )
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jnp.int32(agent_dir),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
+def _reset_crossing(params: EnvParams, key: jax.Array) -> EnvState:
+    """{Simple,Lava}CrossingS{s}N{n}: ``n`` wall/lava rivers on even rows/
+    columns with one opening each along a sampled room-to-room path
+    (upstream minigrid crossing.py: candidate rivers at every even
+    row/column in [2, size-3], shuffled, first ``n`` kept; openings placed
+    by walking a shuffled h/v move sequence through the room lattice)."""
+    w, h = params.width, params.height
+    n = params.num_crossings
+    k_riv, k_path, k_open, k_next = jax.random.split(key, 4)
+    grid = _base_grid(params)  # border walls + goal at (w-2, h-2)
+
+    obstacle_cell = jnp.asarray(
+        [params.obstacle, GREY if params.obstacle == WALL else RED, 0],
+        dtype=jnp.int8,
+    )
+    cand = np.arange(2, h - 2, 2)
+    cv = len(cand)
+    assert n <= 2 * cv, f"num_crossings={n} too large for size {w}"
+    cand_j = jnp.asarray(cand, jnp.int32)
+
+    # Shuffle the 2·cv candidates (ids < cv vertical, else horizontal) and
+    # keep the first n; ascending candidate order == upstream's sort.
+    perm = jax.random.permutation(k_riv, 2 * cv)
+    sel_mask = jnp.zeros(2 * cv, bool).at[perm[:n]].set(True)
+    v_mask, h_mask = sel_mask[:cv], sel_mask[cv:]
+    nv = v_mask.sum()
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    col_river = jnp.zeros(w, bool).at[cand_j].set(v_mask)
+    row_river = jnp.zeros(h, bool).at[cand_j].set(h_mask)
+    vert = col_river[xs[..., 0]][:, None] & (ys >= 1) & (ys <= h - 2)
+    horz = row_river[ys[0]][None, :] & (xs >= 1) & (xs <= w - 2)
+    grid = jnp.where((vert | horz)[..., None], obstacle_cell, grid)
+
+    # Room-lattice limits: [0, sorted selected rivers..., size-1].
+    big = jnp.int32(10 ** 6)
+    sel_v = jnp.sort(jnp.where(v_mask, cand_j, big))
+    sel_h = jnp.sort(jnp.where(h_mask, cand_j, big))
+    limits_v = jnp.zeros(cv + 2, jnp.int32).at[1:cv + 1].set(sel_v)
+    limits_v = limits_v.at[nv + 1].set(h - 1)
+    limits_h = jnp.zeros(cv + 2, jnp.int32).at[1:cv + 1].set(sel_h)
+    limits_h = limits_h.at[(n - nv) + 1].set(w - 1)
+
+    # Path: nv horizontal moves (each crossing a vertical river) + the
+    # rest vertical, shuffled; one opening per move.
+    path_h = jax.random.permutation(k_path, jnp.arange(n) < nv)
+    open_keys = jax.random.split(k_open, max(n, 1))
+    empty_cell = jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8)
+    room_i = jnp.int32(0)
+    room_j = jnp.int32(0)
+    for t in range(n):
+        is_h = path_h[t]
+        i_h = limits_v[room_i + 1]
+        j_h = jax.random.randint(
+            open_keys[t], (), limits_h[room_j] + 1, limits_h[room_j + 1]
+        )
+        i_v = jax.random.randint(
+            open_keys[t], (), limits_v[room_i] + 1, limits_v[room_i + 1]
+        )
+        j_v = limits_h[room_j + 1]
+        oi = jnp.where(is_h, i_h, i_v)
+        oj = jnp.where(is_h, j_h, j_v)
+        grid = grid.at[oi, oj].set(empty_cell)
+        room_i = room_i + is_h.astype(jnp.int32)
+        room_j = room_j + (~is_h).astype(jnp.int32)
+
+    return EnvState(
+        grid=grid,
+        agent_pos=jnp.array([1, 1], dtype=jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -309,6 +625,10 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_fourrooms(params, key)
     if params.kind == "lavagap":
         return _reset_lavagap(params, key)
+    if params.kind == "multiroom":
+        return _reset_multiroom(params, key)
+    if params.kind == "crossing":
+        return _reset_crossing(params, key)
     raise ValueError(params.kind)
 
 

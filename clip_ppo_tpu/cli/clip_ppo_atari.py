@@ -163,6 +163,10 @@ class Args:
     stack with per-frame disturbances, RAM descriptions, CLIP loss and
     temporal-projection checkpointing (requires ale_py, or a registered
     ALE-compatible env id such as the FakeALE/Breakout-v5 CI stub)"""
+    rollout_groups: int = 2
+    """ale backend only: split the vector env into this many groups and
+    pipeline host env stepping against the in-flight device policy
+    compute (rollout contents are schedule-independent; 1 = serial)"""
 
     # to be filled in runtime
     batch_size: int = 0
@@ -333,6 +337,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     rand_key = jax.random.PRNGKey(args.seed + 1)
     start_time = time.time()
     last_returns: list[float] = []
+    b_returns = None  # last GAE batch returns (`checkpoint_utils.py:21-29`)
 
     use_split_path = (
         compute_clip and embed_images_fn is None and embed_random_fn is None
@@ -395,6 +400,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 writer.add_scalar("charts/episodic_return", r, step_at)
                 writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
                 last_returns.append(r)
+            b_returns = episode_stats["b_returns"]
             global_step += args.batch_size
 
             for tag in (
@@ -416,13 +422,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         if args.save_model and global_step % args.save_freq == 0:
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration - 1, global_step, args,
+                iteration - 1, global_step, args, b_returns=b_returns,
             )
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, final=True,
+            args.num_iterations, global_step, args, b_returns=b_returns,
+            final=True,
         )
 
     profiler.close()
@@ -464,10 +471,21 @@ def _train_ale(
     from clip_ppo_tpu.train import HostTrainer
 
     cc = args.clip_config
-    env = ALEVectorEnv(args.env_id, args.num_envs, run_name=run_name)
+    # Env groups pipeline host emulator stepping against device policy
+    # compute (HostTrainer docstring); group sizes split num_envs as
+    # evenly as possible, capture/describe order = flattened group order.
+    n_groups = max(1, min(args.rollout_groups, args.num_envs))
+    sizes = [
+        args.num_envs // n_groups + (1 if g < args.num_envs % n_groups else 0)
+        for g in range(n_groups)
+    ]
+    env_groups = [
+        ALEVectorEnv(args.env_id, n, run_name=run_name) for n in sizes
+    ]
+    env = env_groups[0]
     frame_fn = env.frame_env0 if (args.capture_video and recorder is not None) else None
     trainer = HostTrainer(
-        cfg, env, num_iterations=args.num_iterations,
+        cfg, env_groups, num_iterations=args.num_iterations,
         features_fn=features_fn, frozen_params=frozen_params,
         disturbance=disturbance, disturbance_semantics="stack_frames",
         embed_images_fn=embed_images_fn, clip_lambda=cc.clip_lambda,
@@ -529,7 +547,7 @@ def _train_ale(
                         args.batch_size, key=kk,
                     )
             else:
-                descs = env.describe()
+                descs = [d for e in env_groups for d in e.describe()]
                 descriptions = descs * args.num_steps  # index t·N+n → env n
                 clip_embeddings = encode_tokens(jnp.asarray(tokenize(descriptions)))
 
@@ -563,14 +581,21 @@ def _train_ale(
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
                 iteration, global_step, args,
+                b_returns=np.asarray(trainer.last_b_returns),
             )
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, final=True,
+            args.num_iterations, global_step, args,
+            b_returns=(
+                np.asarray(trainer.last_b_returns)
+                if trainer.last_b_returns is not None else None
+            ),
+            final=True,
         )
-    env.close()
+    for e in env_groups:
+        e.close()
     return {
         "global_step": global_step,
         "sps": global_step / (time.time() - start_time),

@@ -378,6 +378,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     rand_key = jax.random.PRNGKey(args.seed + 1)
     start_time = time.time()
     last_returns: list[float] = []
+    b_returns = None  # last GAE batch returns (`checkpoint_utils.py:21-29`)
 
     use_split_path = (
         compute_clip and not fused_image_path and not fused_text_path
@@ -435,6 +436,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 writer.add_scalar("charts/episodic_return", r, step_at)
                 writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
                 last_returns.append(r)
+            b_returns = episode_stats["b_returns"]
             global_step += args.batch_size
 
             for tag in (
@@ -457,13 +459,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         if args.save_model and global_step % args.save_freq == 0:
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration - 1, global_step, args,
+                iteration - 1, global_step, args, b_returns=b_returns,
             )
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, final=True,
+            args.num_iterations, global_step, args, b_returns=b_returns,
+            final=True,
         )
 
     profiler.close()

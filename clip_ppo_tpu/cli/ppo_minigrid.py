@@ -234,6 +234,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 writer.add_scalar("charts/episodic_return", r, step_at)
                 writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
                 last_returns.append(r)
+            b_returns = episode_stats["b_returns"]
             global_step += args.batch_size
 
             for tag in (
@@ -250,13 +251,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         if args.save_model and global_step % args.save_freq == 0:
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration - 1, global_step, args,
+                iteration - 1, global_step, args, b_returns=b_returns,
             )
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, final=True,
+            args.num_iterations, global_step, args, b_returns=b_returns,
+            final=True,
         )
 
     profiler.close()

@@ -69,38 +69,85 @@ def make_ale_env(
     """Single-env thunk with the reference wrapper stack
     (`clip_ppo_atari.py:149-168`): RecordEpisodeStatistics → Noop(30) →
     MaxAndSkip(4) → EpisodicLife → FireReset → ClipReward → Resize(84) →
-    Grayscale → FrameStack(4). gymnasium's AtariPreprocessing covers
-    Noop/MaxSkip/Resize/Grayscale with the same semantics; EpisodicLife,
-    FireReset and ClipReward come from its wrappers module."""
+    Grayscale → FrameStack(4), in that exact order.
+
+    Crucially, ``gym.make(env_id)`` gets NO frameskip override — exactly
+    like the reference's ``make_env`` — so the id's built-in registration
+    semantics apply UNDER MaxAndSkip(4): ``ALE/*-v5`` ids (the
+    orchestrator grid, `run_experiments.py:86-89`) run with built-in
+    frameskip 4 + sticky actions 0.25 for an effective 16 raw frames per
+    agent step, while ``*NoFrameskip-v4`` ids (the CLI default) are
+    deterministic skip-1 for the classic effective skip of 4."""
     _ensure_ale(env_id)
     import gymnasium as gym
 
     def thunk():
         if capture_video and idx == 0:
-            env = gym.make(env_id, render_mode="rgb_array", frameskip=1)
+            env = gym.make(env_id, render_mode="rgb_array")
             env = gym.wrappers.RecordVideo(env, f"videos/atari/{run_name}")
         else:
-            env = gym.make(env_id, frameskip=1)
+            env = gym.make(env_id)
         env = gym.wrappers.RecordEpisodeStatistics(env)
-        env = gym.wrappers.AtariPreprocessing(
-            env,
-            noop_max=noop_max,
-            frame_skip=frame_skip,
-            screen_size=screen_size,
-            terminal_on_life_loss=False,
-            grayscale_obs=True,
-        )
-        # EpisodicLife + FireReset applied explicitly (AtariPreprocessing's
-        # terminal_on_life_loss resets on life loss, which is NOT the
-        # EpisodicLifeEnv contract — it must fake done but keep playing).
+        env = _NoopReset(env, noop_max=noop_max)
+        env = _MaxAndSkip(env, skip=frame_skip)
         env = _EpisodicLife(env)
         if "FIRE" in env.unwrapped.get_action_meanings():
             env = _FireReset(env)
         env = gym.wrappers.TransformReward(env, np.sign)
+        env = gym.wrappers.ResizeObservation(env, (screen_size, screen_size))
+        env = gym.wrappers.GrayscaleObservation(env)
         env = gym.wrappers.FrameStackObservation(env, 4)
         return env
 
     return thunk
+
+
+class _NoopReset:
+    """Random [1, noop_max] NOOP steps after reset to randomize initial
+    state (`atari_wrappers.py:62-92` contract; re-reset if an episode ends
+    mid-noop)."""
+
+    def __new__(cls, env, noop_max: int = 30):
+        import gymnasium as gym
+
+        class NoopReset(gym.Wrapper):
+            def reset(self, **kwargs):
+                obs, info = self.env.reset(**kwargs)
+                noops = int(self.unwrapped.np_random.integers(1, noop_max + 1))
+                for _ in range(noops):
+                    obs, _, terminated, truncated, info = self.env.step(0)
+                    if terminated or truncated:
+                        obs, info = self.env.reset(**kwargs)
+                return obs, info
+
+        return NoopReset(env)
+
+
+class _MaxAndSkip:
+    """Repeat the action over ``skip`` env steps, sum the rewards, and
+    return the pixelwise max of the last two frames (flicker removal,
+    `atari_wrappers.py:169-211` contract; stops early when the episode
+    ends — the done-frame observation is unused downstream)."""
+
+    def __new__(cls, env, skip: int = 4):
+        import gymnasium as gym
+
+        class MaxAndSkip(gym.Wrapper):
+            def step(self, action):
+                total = 0.0
+                prev = obs = None
+                terminated = truncated = False
+                info: dict = {}
+                for _ in range(skip):
+                    nxt, reward, terminated, truncated, info = self.env.step(action)
+                    prev, obs = obs, nxt
+                    total += float(reward)
+                    if terminated or truncated:
+                        break
+                frame = obs if prev is None else np.maximum(obs, prev)
+                return frame, total, terminated, truncated, info
+
+        return MaxAndSkip(env)
 
 
 def _gym_wrapper_base():

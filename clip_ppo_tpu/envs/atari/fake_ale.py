@@ -4,16 +4,33 @@ The real emulator adapter (`clip_ppo_tpu.envs.atari.ale_adapter`) is
 import-gated on ``ale_py``, which is absent in CI — leaving the exact
 wrapper stack and the HostTrainer CLIP path with zero executed coverage.
 This module provides a minimal stand-in that speaks the ALE *interface*
-the adapter stack consumes (`atari_wrappers.py` behaviors via gymnasium's
-`AtariPreprocessing`, which calls ``env.unwrapped.ale.getScreenGrayscale/
-getScreenRGB/lives`` and requires ``_frameskip == 1``), plus the Breakout
+the adapter stack consumes (the `atari_wrappers.py` behaviors call
+``env.unwrapped.ale.getScreenGrayscale/getScreenRGB/lives`` and
+``get_action_meanings``), plus the Breakout
 RAM addresses the description generator reads
 (`clip_ppo_atari.py:302-367`: score digits at RAM[36-38], ball at
 (RAM[99], RAM[101]), paddle at RAM[72], lives at RAM[57]&0x7).
 
-Register with :func:`register` and use env ids ``FakeALE/Breakout-v5`` /
-``FakeALE/Pong-v5`` with ``--env-backend ale``; the adapter accepts any
-gymnasium-registered ALE-compatible id without importing ale_py.
+Register with :func:`register` and use the fake ids with
+``--env-backend ale``; the adapter accepts any gymnasium-registered
+ALE-compatible id without importing ale_py. BOTH env-id families the
+reference actually trains are provided with their real ALE semantics
+(`run_experiments.py:86-89` passes ``ALE/*-v5``; the CLI default is
+``BreakoutNoFrameskip-v4``; the reference's ``make_env`` calls
+``gym.make(env_id)`` with NO frameskip override, so the id's built-in
+dynamics apply UNDER its MaxAndSkip(4)):
+
+* ``FakeALE/Breakout-v5`` / ``FakeALE/Pong-v5`` — built-in frameskip 4
+  and sticky actions (``repeat_action_probability=0.25``), like
+  gymnasium's ``ALE/*-v5`` registrations → effective 16 raw frames per
+  agent step through the wrapper stack;
+* ``FakeALE/BreakoutNoFrameskip-v4`` / ``FakeALE/PongNoFrameskip-v4`` —
+  frameskip 1, no sticky actions → the classic effective skip of 4.
+
+Sticky actions follow ALE (Machado et al. 2017): independently per raw
+frame, with probability p the previously EXECUTED action repeats instead
+of the agent's. ``_raw_frames`` / ``_sticky_repeats`` counters on the
+env expose the effective semantics to tests.
 
 The games themselves are 210x160 RGB toys — Breakout: paddle/ball/bricks
 with FIRE-to-serve, five lives, per-brick score; Pong: two paddles to 21
@@ -30,6 +47,8 @@ import numpy as np
 
 FAKE_ENV_ID = "FakeALE/Breakout-v5"
 FAKE_PONG_ID = "FakeALE/Pong-v5"
+FAKE_V4_ENV_ID = "FakeALE/BreakoutNoFrameskip-v4"
+FAKE_V4_PONG_ID = "FakeALE/PongNoFrameskip-v4"
 
 # playfield geometry (screen coords, 210 rows x 160 cols)
 _WALL = 8
@@ -82,17 +101,23 @@ class FakeBreakoutEnv:
 
     metadata = {"render_modes": ["rgb_array"], "render_fps": 60}
 
-    def __new__(cls, render_mode=None, frameskip=1):
+    def __new__(cls, render_mode=None, frameskip=1,
+                repeat_action_probability=0.0):
         import gymnasium as gym
 
-        outer_render_mode, outer_frameskip = render_mode, frameskip
+        outer = (render_mode, frameskip, repeat_action_probability)
 
         class _Env(gym.Env):
             metadata = cls.metadata
 
-            def __init__(self, render_mode=None, frameskip=1):
+            def __init__(self, render_mode=None, frameskip=1,
+                         repeat_action_probability=0.0):
                 self.render_mode = render_mode
-                self._frameskip = frameskip  # AtariPreprocessing checks == 1
+                self._frameskip = frameskip
+                self._sticky_p = float(repeat_action_probability)
+                self._exec_action = 0  # NOOP; sticky repeats the EXECUTED action
+                self._raw_frames = 0
+                self._sticky_repeats = 0
                 self.observation_space = gym.spaces.Box(
                     0, 255, (210, 160, 3), np.uint8
                 )
@@ -134,6 +159,28 @@ class FakeBreakoutEnv:
                 self._serve_timer = 0
 
             def step(self, action):
+                # ALE semantics: the id's built-in frameskip repeats the
+                # action over raw frames, summing rewards and returning the
+                # LAST frame's screen; sticky actions apply independently
+                # per raw frame (with prob p the previously executed action
+                # runs instead — Machado et al. 2017, as in ale_py v5 ids).
+                total = 0.0
+                terminated = False
+                for _ in range(self._frameskip):
+                    self._raw_frames += 1
+                    if (self._sticky_p > 0.0
+                            and self.np_random.random() < self._sticky_p):
+                        self._sticky_repeats += 1
+                    else:
+                        self._exec_action = action
+                    r, terminated = self._frame(self._exec_action)
+                    total += r
+                    if terminated:
+                        break
+                return self._render_screen(), total, terminated, False, {}
+
+            def _frame(self, action):
+                """One raw emulator frame; returns (reward, terminated)."""
                 reward = 0.0
                 if action == 2:   # RIGHT
                     self._paddle_x = min(152 - _PADDLE_W // 2, self._paddle_x + 4)
@@ -178,9 +225,7 @@ class FakeBreakoutEnv:
                         self._serve_timer = 0
                 if not self._bricks.any():  # cleared — fresh wall
                     self._bricks[...] = True
-                terminated = self._lives <= 0
-                obs = self._render_screen()
-                return obs, reward, terminated, False, {}
+                return reward, self._lives <= 0
 
             def reset(self, *, seed=None, options=None):
                 super().reset(seed=seed)
@@ -189,6 +234,7 @@ class FakeBreakoutEnv:
                 self._paddle_x = 80
                 self._launched = False
                 self._serve_timer = 0
+                self._exec_action = 0
                 self._ball_x = float(self._paddle_x)
                 self._ball_y = float(_PADDLE_Y - 2)
                 self._bricks[...] = True
@@ -214,7 +260,8 @@ class FakeBreakoutEnv:
                 s[max(0, by - 2):by + 2, max(0, bx - 1):bx + 1] = (200, 72, 72)
                 return s
 
-        return _Env(render_mode=outer_render_mode, frameskip=outer_frameskip)
+        return _Env(render_mode=outer[0], frameskip=outer[1],
+                    repeat_action_probability=outer[2])
 
 
 class FakePongEnv:
@@ -225,17 +272,23 @@ class FakePongEnv:
 
     metadata = {"render_modes": ["rgb_array"], "render_fps": 60}
 
-    def __new__(cls, render_mode=None, frameskip=1):
+    def __new__(cls, render_mode=None, frameskip=1,
+                repeat_action_probability=0.0):
         import gymnasium as gym
 
-        outer_render_mode, outer_frameskip = render_mode, frameskip
+        outer = (render_mode, frameskip, repeat_action_probability)
 
         class _Env(gym.Env):
             metadata = cls.metadata
 
-            def __init__(self, render_mode=None, frameskip=1):
+            def __init__(self, render_mode=None, frameskip=1,
+                         repeat_action_probability=0.0):
                 self.render_mode = render_mode
                 self._frameskip = frameskip
+                self._sticky_p = float(repeat_action_probability)
+                self._exec_action = 0
+                self._raw_frames = 0
+                self._sticky_repeats = 0
                 self.observation_space = gym.spaces.Box(
                     0, 255, (210, 160, 3), np.uint8
                 )
@@ -272,6 +325,24 @@ class FakePongEnv:
                 self._serve_timer = 0
 
             def step(self, action):
+                # same built-in frameskip + per-raw-frame sticky semantics
+                # as the Breakout fake (see its step docstring).
+                total = 0.0
+                terminated = False
+                for _ in range(self._frameskip):
+                    self._raw_frames += 1
+                    if (self._sticky_p > 0.0
+                            and self.np_random.random() < self._sticky_p):
+                        self._sticky_repeats += 1
+                    else:
+                        self._exec_action = action
+                    r, terminated = self._frame(self._exec_action)
+                    total += r
+                    if terminated:
+                        break
+                return self._render_screen(), total, terminated, False, {}
+
+            def _frame(self, action):
                 reward = 0.0
                 if action == 2:    # RIGHT = up
                     self._player_y = max(40.0, self._player_y - 4)
@@ -306,8 +377,7 @@ class FakePongEnv:
                         self._p_score += 1
                         reward = 1.0
                         self._vx = self._vy = 0.0
-                terminated = self._p_score >= 21 or self._e_score >= 21
-                return self._render_screen(), reward, terminated, False, {}
+                return reward, self._p_score >= 21 or self._e_score >= 21
 
             def reset(self, *, seed=None, options=None):
                 super().reset(seed=seed)
@@ -315,6 +385,7 @@ class FakePongEnv:
                 self._player_y = self._enemy_y = 105.0
                 self._vx = self._vy = 0.0
                 self._serve_timer = 0
+                self._exec_action = 0
                 self._ball_x, self._ball_y = 80.0, 105.0
                 return self._render_screen(), {}
 
@@ -333,23 +404,31 @@ class FakePongEnv:
                 s[max(0, by - 2):by + 2, max(0, bx - 1):bx + 1] = (236, 236, 236)
                 return s
 
-        return _Env(render_mode=outer_render_mode, frameskip=outer_frameskip)
+        return _Env(render_mode=outer[0], frameskip=outer[1],
+                    repeat_action_probability=outer[2])
 
 
 def register() -> str:
-    """Idempotently register the fake env ids with gymnasium."""
+    """Idempotently register the fake env ids with gymnasium.
+
+    Mirrors ale_py's registration split: ``*-v5`` ids carry built-in
+    frameskip 4 + sticky actions 0.25; ``*NoFrameskip-v4`` ids are
+    deterministic skip-1 (so the wrapper stack's MaxAndSkip(4) is the
+    only frame skipping, as in the reference CLI default)."""
     import gymnasium as gym
 
-    if FAKE_ENV_ID not in gym.registry:
-        gym.register(
-            id=FAKE_ENV_ID,
-            entry_point=FakeBreakoutEnv,
-            max_episode_steps=2000,  # raw frames; 500 agent steps at skip-4
-        )
-    if FAKE_PONG_ID not in gym.registry:
-        gym.register(
-            id=FAKE_PONG_ID,
-            entry_point=FakePongEnv,
-            max_episode_steps=8000,  # a 21-point game can run long
-        )
+    v5 = {"frameskip": 4, "repeat_action_probability": 0.25}
+    v4 = {"frameskip": 1, "repeat_action_probability": 0.0}
+    for env_id, entry, steps, kwargs in (
+        # max_episode_steps counts agent-level env.step calls
+        (FAKE_ENV_ID, FakeBreakoutEnv, 2000, v5),
+        (FAKE_V4_ENV_ID, FakeBreakoutEnv, 2000, v4),
+        (FAKE_PONG_ID, FakePongEnv, 8000, v5),  # a 21-point game runs long
+        (FAKE_V4_PONG_ID, FakePongEnv, 8000, v4),
+    ):
+        if env_id not in gym.registry:
+            gym.register(
+                id=env_id, entry_point=entry,
+                max_episode_steps=steps, kwargs=dict(kwargs),
+            )
     return FAKE_ENV_ID

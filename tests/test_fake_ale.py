@@ -70,6 +70,73 @@ def test_fake_game_scores_and_loses_lives():
     env.close()
 
 
+def test_env_id_families_effective_frameskip():
+    """Both id families the reference trains compose correctly with the
+    wrapper stack (VERDICT r2 item 7): v5 ids carry built-in frameskip 4
+    under MaxAndSkip(4) — effective 16 raw frames per agent step, exactly
+    what the reference orchestrator runs (`run_experiments.py:86-89` +
+    `make_env` with no frameskip override) — while NoFrameskip-v4 ids
+    (the CLI default) give the classic effective skip of 4."""
+    from clip_ppo_tpu.envs.atari.ale_adapter import make_ale_env
+
+    for env_id, frames_per_step in (
+        ("FakeALE/Breakout-v5", 16),
+        ("FakeALE/BreakoutNoFrameskip-v4", 4),
+    ):
+        env = make_ale_env(env_id)()
+        env.reset(seed=0)
+        raw0 = env.unwrapped._raw_frames
+        for a in (0, 2, 3):
+            env.step(a)
+        raw = env.unwrapped._raw_frames - raw0
+        assert raw == 3 * frames_per_step, (env_id, raw)
+        env.close()
+
+
+def test_sticky_actions_only_in_v5():
+    """v5 ids repeat the previously executed action with p=0.25 per raw
+    frame (`atari_wrappers.py:36-59` / ale_py registration semantics);
+    v4 ids are deterministic."""
+    import gymnasium as gym
+
+    from clip_ppo_tpu.envs.atari import fake_ale
+
+    fake_ale.register()
+    for env_id, sticky in (
+        ("FakeALE/Breakout-v5", True),
+        ("FakeALE/BreakoutNoFrameskip-v4", False),
+        ("FakeALE/Pong-v5", True),
+        ("FakeALE/PongNoFrameskip-v4", False),
+    ):
+        env = gym.make(env_id)
+        env.reset(seed=1)
+        for t in range(400):
+            _, _, term, trunc, _ = env.step(2 if t % 2 == 0 else 3)
+            if term or trunc:
+                env.reset(seed=t)
+        frac = env.unwrapped._sticky_repeats / env.unwrapped._raw_frames
+        if sticky:
+            assert 0.18 < frac < 0.32, (env_id, frac)
+        else:
+            assert frac == 0.0, (env_id, frac)
+        env.close()
+
+
+def test_ppo_atari_ale_backend_v4_family(tmp_path, monkeypatch):
+    """The NoFrameskip-v4 id family (the reference CLI default) trains
+    end-to-end through the adapter stack."""
+    from clip_ppo_tpu.cli import ppo_atari
+
+    monkeypatch.chdir(tmp_path)
+    args = ppo_atari.Args(
+        env_id="FakeALE/BreakoutNoFrameskip-v4", env_backend="ale",
+        total_timesteps=32, num_envs=2, num_steps=8, num_minibatches=2,
+        update_epochs=1, capture_video=False,
+    )
+    out = ppo_atari.train(args, run_name="fake_ppo_v4")
+    assert out["global_step"] == 32
+
+
 def test_fake_env_rejects_pong_descriptions():
     from clip_ppo_tpu.envs.atari import fake_ale
     from clip_ppo_tpu.envs.atari.ale_adapter import _ensure_ale

@@ -157,10 +157,32 @@ def load_checkpoint_orbax(
         print("Warning: This was a final checkpoint - training was marked as complete")
 
     def onto(template, sub):
-        # Structure check + device placement in one tree_map.
-        return jax.tree_util.tree_map(
-            lambda t, a: jax.numpy.asarray(a), template, sub
-        )
+        """Rebuild the template's container types from orbax's target-less
+        restore, which returns only plain containers: tuples/namedtuples
+        come back as lists/dicts and leafless states (optax ``EmptyState``)
+        come back as ``None``. Walks both trees in parallel, placing leaves
+        on device — a flat tree_map would reject the mismatched treedefs."""
+        if sub is None:
+            return template  # leafless subtree (e.g. optax EmptyState)
+        if isinstance(template, dict):
+            _check(sorted(template), sorted(sub))
+            return {k: onto(template[k], sub[k]) for k in template}
+        if hasattr(template, "_fields"):  # namedtuple → dict of fields
+            _check(len(template._fields), len(sub))
+            return type(template)(
+                **{f: onto(getattr(template, f), sub[f]) for f in template._fields}
+            )
+        if isinstance(template, (list, tuple)):
+            _check(len(template), len(sub))
+            return type(template)(onto(t, s) for t, s in zip(template, sub))
+        return jax.numpy.asarray(sub)
+
+    def _check(a, b):
+        if a != b:
+            raise ValueError(
+                f"checkpoint structure mismatch: template has {a}, "
+                f"restored tree has {b}"
+            )
 
     params = onto(params_template, restored["agent_state"])
     opt_state = onto(opt_state_template, restored["optimizer_state"])

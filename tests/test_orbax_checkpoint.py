@@ -111,3 +111,59 @@ def test_returns_extras_and_enum_args(tmp_path):
     assert it3 == 5
     for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_resume_under_mesh(tmp_path):
+    """Checkpoint → resume → shard_state → continue at dp=8 (VERDICT r2
+    item 8): a dp-trained state saved through the orbax backend restores
+    into a FRESH Trainer on the mesh, training continues, and parameters
+    stay bit-replicated on every device."""
+    from clip_ppo_tpu.envs import JaxVectorEnv
+    from clip_ppo_tpu.models import init_agent_params
+    from clip_ppo_tpu.parallel.mesh import make_mesh
+    from clip_ppo_tpu.train import PPOConfig, Trainer
+    import dataclasses
+
+    @dataclasses.dataclass
+    class Args:
+        seed: int = 0
+        env_id: str = "MiniGrid-Empty-5x5-v0"
+
+    cfg = PPOConfig(num_envs=8, num_steps=8, num_minibatches=2, update_epochs=1)
+    env = JaxVectorEnv(Args.env_id, cfg.num_envs)
+    mesh = make_mesh(num_devices=8)
+
+    tr1 = Trainer(cfg, env, num_iterations=6, mesh=mesh)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=3)
+    st = tr1.init_state(params, seed=0)
+    st, packed = tr1.run_iterations(st, 1, 4)
+    _ = tr1.fetch_logs_chunk(packed)
+    prefix = str(tmp_path / "dp8")
+    save_checkpoint_orbax(
+        prefix, jax.device_get(st.params), jax.device_get(st.opt_state),
+        4, 4 * cfg.num_envs * cfg.num_steps, Args(),
+    )
+
+    tr2 = Trainer(cfg, env, num_iterations=6, mesh=mesh)
+    fresh = init_agent_params(jax.random.PRNGKey(1), env.num_actions, in_channels=3)
+    st2 = tr2.init_state(fresh, seed=0)
+    p2, o2, it, gs, _ = load_checkpoint_orbax(
+        f"{prefix}_latest", jax.device_get(st2.params), jax.device_get(st2.opt_state)
+    )
+    assert (it, gs) == (4, 256)
+    st2 = tr2.shard_state(dataclasses.replace(st2, params=p2, opt_state=o2))
+
+    # restored params match the saved ones exactly
+    for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ...and training continues from them on the mesh
+    st2, packed = tr2.run_iterations(st2, it + 1, 2)
+    for scalars, _stats in tr2.fetch_logs_chunk(packed):
+        assert np.isfinite(scalars["policy_loss"])
+    leaf = jax.tree_util.tree_leaves(st2.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == 8
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

@@ -68,26 +68,32 @@ def main() -> None:
     single_iter_plus_rtt = time.perf_counter() - t0
     it += 1
 
-    # Timed region, ×3: each chunk is ONE dispatch of `iters` chained
-    # iterations + ONE packed fetch — per-dispatch tunnel latency is paid
-    # once per chunk, not 50×. Three chunks expose the tunnel-phase
-    # variance (BENCH r1→r2 drifted 10% on the identical program; the
-    # per-chunk marginals make that diagnosable from the artifact alone).
-    chunk_sps = []
-    for _i in range(3):
-        t0 = time.perf_counter()
+    # Timed region, ×4 chunks with the CLI's LogPipeline schedule: each
+    # chunk is ONE dispatch of `iters` chained iterations, and chunk k's
+    # packed-log fetch happens only AFTER chunk k+1 is dispatched — the
+    # ~600 KB transfer drains while the device computes the next chunk
+    # (this overlap was the whole BENCH r1→r2 delta: r1 fetched one
+    # scalar, r2 serialized the full packed fetch into the timed region).
+    # A fetch returning marks the end of that chunk's compute, so the
+    # inter-fetch marginals are per-chunk throughput; tunnel spikes only
+    # ever inflate a marginal, so the max is the device-throughput
+    # estimate. The last chunk pays its own (un-overlapped) drain and is
+    # excluded from the marginals.
+    n_chunks = 4
+    marks = []
+    prev = None
+    t0 = time.perf_counter()
+    for _i in range(n_chunks):
         state, packed = trainer.run_iterations(state, it, iters)
-        _ = fetch_chunk(packed)
-        total = time.perf_counter() - t0
         it += iters
-        # Subtract the round trip once, clamped to stay conservative.
-        compute_time = max(
-            total - max(single_iter_plus_rtt - total / iters, 0.0), 1e-9
-        )
-        chunk_sps.append(iters * num_envs * num_steps / compute_time)
+        if prev is not None:
+            _ = fetch_chunk(prev)
+            marks.append(time.perf_counter())
+        prev = packed
+    _ = fetch_chunk(prev)
 
-    # Best chunk: tunnel latency spikes only ever inflate a chunk's time,
-    # so the max marginal is the closest estimate of device throughput.
+    times = np.diff([t0] + marks)
+    chunk_sps = [iters * num_envs * num_steps / dt for dt in times]
     sps = max(chunk_sps)
     print(json.dumps({
         "metric": "ppo_minigrid_env_steps_per_sec",

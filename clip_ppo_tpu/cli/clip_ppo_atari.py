@@ -53,7 +53,7 @@ from clip_ppo_tpu.models.agent import AblationMode, cnn_features
 from clip_ppo_tpu.models.clip import model as clip_model_mod
 from clip_ppo_tpu.models.clip.tokenizer import tokenize
 from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
-from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
+from clip_ppo_tpu.train import LogPipeline, PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -342,6 +342,43 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     use_split_path = (
         compute_clip and embed_images_fn is None and embed_random_fn is None
     )
+
+    def handle(it, scalars, episode_stats):
+        nonlocal global_step, b_returns
+        profiler.step(it)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        b_returns = episode_stats.get("b_returns", b_returns)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
+        if compute_clip and args.verbose:
+            clip_utils.verbose_debug_print(
+                it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
+            )
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+    pipeline = LogPipeline(trainer, handle)
     iteration = start_iteration
     while iteration <= args.num_iterations:
         if use_split_path:
@@ -371,59 +408,28 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             state, scalars = trainer.run_update_half(
                 state, flat, iteration, clip_embeddings
             )
-            per_iter = [trainer.fetch_logs(scalars, episode_stats)]
+            handle(iteration, *trainer.fetch_logs(scalars, episode_stats))
         else:
-            # Fused paths: K iterations per device dispatch, one packed
-            # device→host fetch per chunk, chunk ends aligned to
-            # checkpoint boundaries.
+            # Fused paths: K iterations per device dispatch, chunk ends
+            # aligned to checkpoint boundaries, each chunk's packed log
+            # fetch overlapped with the next chunk's compute (LogPipeline).
             k = chunk_length(
                 args.iterations_per_dispatch, iteration, args.num_iterations,
-                global_step, args.batch_size, args.save_freq, args.save_model,
+                (iteration - 1) * args.batch_size, args.batch_size,
+                args.save_freq, args.save_model,
             )
             state, packed = trainer.run_iterations(state, iteration, k)
-            per_iter = trainer.fetch_logs_chunk(packed)
-
-        for offset, (scalars, episode_stats) in enumerate(per_iter):
-            it = iteration + offset
-            profiler.step(it)
-            if recorder is not None:
-                recorder.add_rollout(
-                    np.asarray(episode_stats["env0_frames"]),
-                    np.asarray(episode_stats["env0_dones"]),
-                )
-            done_mask = np.asarray(episode_stats["done_mask"])
-            ep_ret = np.asarray(episode_stats["episode_return"])
-            ep_len = np.asarray(episode_stats["episode_length"])
-            for t, env_idx in zip(*np.nonzero(done_mask)):
-                step_at = global_step + (int(t) + 1) * args.num_envs
-                r = float(ep_ret[t, env_idx])
-                writer.add_scalar("charts/episodic_return", r, step_at)
-                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-                last_returns.append(r)
-            b_returns = episode_stats["b_returns"]
-            global_step += args.batch_size
-
-            for tag in (
-                "value_loss", "policy_loss", "entropy", "old_approx_kl",
-                "approx_kl", "clipfrac", "explained_variance",
-            ):
-                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-            writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
-            if compute_clip and args.verbose:
-                clip_utils.verbose_debug_print(
-                    it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
-                )
-            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-            sps = int(global_step / (time.time() - start_time))
-            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-            writer.add_scalar("charts/SPS", sps, global_step)
+            pipeline.after_dispatch(iteration, packed)
 
         iteration += k
-        if args.save_model and global_step % args.save_freq == 0:
+        if (args.save_model
+                and ((iteration - 1) * args.batch_size) % args.save_freq == 0):
+            pipeline.flush()
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
                 iteration - 1, global_step, args, b_returns=b_returns,
             )
+    pipeline.flush()
 
     if args.save_model:
         save_checkpoint(

@@ -29,7 +29,7 @@ from clip_ppo_tpu.io import (
     maybe_init_wandb,
 )
 from clip_ppo_tpu.models import init_agent_params
-from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
+from clip_ppo_tpu.train import LogPipeline, PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -179,49 +179,52 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     start_time = time.time()
     last_returns: list[float] = []
 
+    def handle(it, scalars, episode_stats):
+        nonlocal global_step
+        profiler.step(it)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            print(f"global_step={step_at}, episodic_return={r}")
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+    # K iterations per device dispatch, one packed host fetch per chunk,
+    # overlapped with the next chunk's compute (LogPipeline). ppo_atari
+    # has no checkpointing (like the reference), so chunks only cap at
+    # the final iteration and the pipeline never flushes mid-run.
+    pipeline = LogPipeline(trainer, handle)
     iteration = 1
     while iteration <= args.num_iterations:
-        # K iterations per device dispatch, one packed host fetch per chunk
-        # (every leaf fetch pays a round trip on tunneled TPU devices).
-        # ppo_atari has no checkpointing (like the reference), so chunks
-        # only cap at the final iteration.
         k = chunk_length(
             args.iterations_per_dispatch, iteration, args.num_iterations,
-            global_step, args.batch_size, save_freq=1, save_model=False,
+            (iteration - 1) * args.batch_size, args.batch_size,
+            save_freq=1, save_model=False,
         )
         state, packed = trainer.run_iterations(state, iteration, k)
-        per_iter = trainer.fetch_logs_chunk(packed)
-
-        for offset, (scalars, episode_stats) in enumerate(per_iter):
-            it = iteration + offset
-            profiler.step(it)
-            if recorder is not None:
-                recorder.add_rollout(
-                    np.asarray(episode_stats["env0_frames"]),
-                    np.asarray(episode_stats["env0_dones"]),
-                )
-            done_mask = np.asarray(episode_stats["done_mask"])
-            ep_ret = np.asarray(episode_stats["episode_return"])
-            ep_len = np.asarray(episode_stats["episode_length"])
-            for t, env_idx in zip(*np.nonzero(done_mask)):
-                step_at = global_step + (int(t) + 1) * args.num_envs
-                r = float(ep_ret[t, env_idx])
-                print(f"global_step={step_at}, episodic_return={r}")
-                writer.add_scalar("charts/episodic_return", r, step_at)
-                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-                last_returns.append(r)
-            global_step += args.batch_size
-
-            for tag in (
-                "value_loss", "policy_loss", "entropy", "old_approx_kl",
-                "approx_kl", "clipfrac", "explained_variance",
-            ):
-                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-            sps = int(global_step / (time.time() - start_time))
-            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-            writer.add_scalar("charts/SPS", sps, global_step)
+        pipeline.after_dispatch(iteration, packed)
         iteration += k
+    pipeline.flush()
 
     profiler.close()
     if recorder is not None:

@@ -34,7 +34,7 @@ from clip_ppo_tpu.io import (
 )
 from clip_ppo_tpu.models import init_agent_params
 from clip_ppo_tpu.ops import DisturbanceSeverity, resolve_params
-from clip_ppo_tpu.train import PPOConfig, Trainer, chunk_length
+from clip_ppo_tpu.train import LogPipeline, PPOConfig, Trainer, chunk_length
 from clip_ppo_tpu.utils import flags
 
 
@@ -204,55 +204,61 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     last_returns = []
     b_returns = None
 
+    def handle(it, scalars, episode_stats):
+        nonlocal global_step, b_returns
+        profiler.step(it)
+        if recorder is not None:
+            recorder.add_rollout(
+                np.asarray(episode_stats["env0_frames"]),
+                np.asarray(episode_stats["env0_dones"]),
+            )
+        done_mask = np.asarray(episode_stats["done_mask"])
+        ep_ret = np.asarray(episode_stats["episode_return"])
+        ep_len = np.asarray(episode_stats["episode_length"])
+        for t, env_idx in zip(*np.nonzero(done_mask)):
+            step_at = global_step + (int(t) + 1) * args.num_envs
+            r = float(ep_ret[t, env_idx])
+            writer.add_scalar("charts/episodic_return", r, step_at)
+            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
+            last_returns.append(r)
+        b_returns = episode_stats.get("b_returns", b_returns)
+        global_step += args.batch_size
+
+        for tag in (
+            "value_loss", "policy_loss", "entropy", "old_approx_kl",
+            "approx_kl", "clipfrac", "explained_variance",
+        ):
+            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
+        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
+        sps = int(global_step / (time.time() - start_time))
+        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
+        writer.add_scalar("charts/SPS", sps, global_step)
+
+    # K iterations per device dispatch (one host round trip per chunk,
+    # chunk ends aligned to checkpoint boundaries) with the packed-log
+    # fetch of each chunk overlapped with the next chunk's device compute.
+    pipeline = LogPipeline(trainer, handle)
     iteration = 1
     while iteration <= args.num_iterations:
-        # K iterations per device dispatch: one host round trip per chunk,
-        # chunk ends aligned to checkpoint boundaries (chunk_length).
         k = chunk_length(
             args.iterations_per_dispatch, iteration, args.num_iterations,
-            global_step, args.batch_size, args.save_freq, args.save_model,
+            (iteration - 1) * args.batch_size, args.batch_size,
+            args.save_freq, args.save_model,
         )
         state, packed = trainer.run_iterations(state, iteration, k)
-        # One packed device→host fetch per chunk (every leaf fetch pays a
-        # full transfer round-trip on tunneled TPU devices).
-        per_iter = trainer.fetch_logs_chunk(packed)
-
-        for offset, (scalars, episode_stats) in enumerate(per_iter):
-            it = iteration + offset
-            profiler.step(it)
-            if recorder is not None:
-                recorder.add_rollout(
-                    np.asarray(episode_stats["env0_frames"]),
-                    np.asarray(episode_stats["env0_dones"]),
-                )
-            done_mask = np.asarray(episode_stats["done_mask"])
-            ep_ret = np.asarray(episode_stats["episode_return"])
-            ep_len = np.asarray(episode_stats["episode_length"])
-            for t, env_idx in zip(*np.nonzero(done_mask)):
-                step_at = global_step + (int(t) + 1) * args.num_envs
-                r = float(ep_ret[t, env_idx])
-                writer.add_scalar("charts/episodic_return", r, step_at)
-                writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-                last_returns.append(r)
-            b_returns = episode_stats["b_returns"]
-            global_step += args.batch_size
-
-            for tag in (
-                "value_loss", "policy_loss", "entropy", "old_approx_kl",
-                "approx_kl", "clipfrac", "explained_variance",
-            ):
-                writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-            writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-            sps = int(global_step / (time.time() - start_time))
-            print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-            writer.add_scalar("charts/SPS", sps, global_step)
-
+        pipeline.after_dispatch(iteration, packed)
         iteration += k
-        if args.save_model and global_step % args.save_freq == 0:
+        # The handler lags one chunk behind the device; the save condition
+        # comes from the dispatched frontier and the pipeline is flushed
+        # only when a save is actually due (global_step/b_returns current).
+        if (args.save_model
+                and ((iteration - 1) * args.batch_size) % args.save_freq == 0):
+            pipeline.flush()
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
                 iteration - 1, global_step, args, b_returns=b_returns,
             )
+    pipeline.flush()
 
     if args.save_model:
         save_checkpoint(

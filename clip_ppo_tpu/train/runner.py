@@ -468,9 +468,18 @@ class Trainer:
             state, scalars, episode_stats = self._iteration(
                 state, start_iteration + offset, frozen
             )
-            return state, self._pack_logs(scalars, episode_stats)
+            sc, ep, video, dones0 = self._pack_logs(
+                scalars, episode_stats, with_returns=False
+            )
+            return state, (sc, ep, video, dones0, episode_stats["returns"])
 
-        return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+        state, (sc, ep, video, dones0, rets) = jax.lax.scan(
+            body, state, jnp.arange(k, dtype=jnp.int32)
+        )
+        # Checkpoint payloads only ever need the LAST iteration's batch
+        # returns (`shared/checkpoint_utils.py:21-29`); shipping them per
+        # iteration would grow the packed fetch ~33%.
+        return state, (sc, ep, video, dones0, rets[-1])
 
     def run_iterations(self, state: TrainState, start_iteration: int, k: int):
         """Run iterations ``start_iteration .. start_iteration+k-1`` in one
@@ -485,13 +494,17 @@ class Trainer:
     def fetch_logs_chunk(self, packed) -> list:
         """One packed device→host fetch for a whole chunk; returns a list of
         per-iteration ``(scalars_np, stats_np)`` pairs matching
-        :meth:`fetch_logs` output."""
-        sc, ep, video, dones0 = jax.device_get(packed)
+        :meth:`fetch_logs` output. ``b_returns`` is present only on the
+        LAST entry (checkpoint saves happen at chunk boundaries)."""
+        sc, ep, video, dones0, last_returns = jax.device_get(packed)
         out = []
         for i in range(sc.shape[0]):
             scalars_np = {name: sc[i, j] for j, name in enumerate(SCALAR_KEYS)}
             stats_np = self._unpack_stats(ep[i], video, dones0, i)
             out.append((scalars_np, stats_np))
+        # t-major flatten of the GAE returns = the reference's b_returns
+        # [batch_size] (`ppo_minigrid.py:291-296`).
+        out[-1][1]["b_returns"] = np.asarray(last_returns).reshape(-1)
         return out
 
     @staticmethod
@@ -500,10 +513,9 @@ class Trainer:
             "done_mask": ep[0].astype(bool),
             "episode_return": ep[1],
             "episode_length": ep[2].astype(np.int32),
-            # t-major flatten of the GAE returns = the reference's
-            # b_returns [batch_size] (`ppo_minigrid.py:291-296`).
-            "b_returns": ep[3].reshape(-1),
         }
+        if ep.shape[0] > 3:  # single-iteration packing carries returns too
+            stats_np["b_returns"] = ep[3].reshape(-1)
         if video is not None:
             v, d = (video, dones0) if i is None else (video[i], dones0[i])
             stats_np["env0_frames"] = np.asarray(v)
@@ -512,23 +524,26 @@ class Trainer:
 
     # -- host log fetch --------------------------------------------------------
 
-    def _pack_logs(self, scalars: dict, episode_stats: dict):
+    def _pack_logs(self, scalars: dict, episode_stats: dict,
+                   with_returns: bool = True):
         """Pack the per-iteration log pytrees into at most three arrays.
 
         Each device→host fetch pays a full round trip (severe on tunneled
         TPUs: ~0.1-0.5 s per LEAF observed), so the ~13 small log leaves
-        are packed on device and fetched as 2-3 buffers.
+        are packed on device and fetched as 2-3 buffers. The chunked path
+        packs with ``with_returns=False`` and ships only the final
+        iteration's GAE returns (see :meth:`_chunk`).
         """
         assert set(scalars) == set(SCALAR_KEYS), sorted(scalars)
         sc = jnp.stack([scalars[k].astype(jnp.float32) for k in SCALAR_KEYS])
-        ep = jnp.stack(
-            [
-                episode_stats["done_mask"].astype(jnp.float32),
-                episode_stats["episode_return"].astype(jnp.float32),
-                episode_stats["episode_length"].astype(jnp.float32),
-                episode_stats["returns"].astype(jnp.float32),
-            ]
-        )
+        rows = [
+            episode_stats["done_mask"].astype(jnp.float32),
+            episode_stats["episode_return"].astype(jnp.float32),
+            episode_stats["episode_length"].astype(jnp.float32),
+        ]
+        if with_returns:
+            rows.append(episode_stats["returns"].astype(jnp.float32))
+        ep = jnp.stack(rows)
         video = episode_stats.get("env0_frames")
         dones0 = episode_stats.get("env0_dones")
         return sc, ep, video, dones0
@@ -588,3 +603,46 @@ def chunk_length(
         done = global_step // batch_size
         k = min(k, per - (done % per))
     return max(k, 1)
+
+
+class LogPipeline:
+    """Overlap the packed-log fetch of chunk *k* with chunk *k+1*'s device
+    compute.
+
+    CLIs dispatch the next chunk BEFORE draining the previous chunk's
+    logs; JAX's async dispatch keeps the device busy while the host waits
+    on the (multi-hundred-KB) packed transfer, so the fetch rides under
+    compute instead of serializing after it — on the tunneled TPU the
+    serial fetch cost ~10% of end-to-end wall-clock (the BENCH r1→r2
+    delta; docs/PERFORMANCE.md "Log-fetch overlap").
+
+    ``handle(iteration, scalars_np, stats_np)`` runs on the host once per
+    iteration, in order, one chunk behind the device. Call :meth:`flush`
+    before reading anything the handler produces (e.g. accumulated
+    ``b_returns`` at a checkpoint save) and once after the loop.
+    """
+
+    def __init__(self, trainer: Trainer, handle: Callable[[int, dict, dict], None]):
+        self.trainer = trainer
+        self.handle = handle
+        self._pending: Optional[tuple[int, Any]] = None
+
+    def after_dispatch(self, iteration: int, packed) -> None:
+        """Register chunk ``iteration``'s packed logs and drain the
+        previous chunk's (its compute has necessarily finished by the time
+        its fetch completes — the new chunk is already queued behind it)."""
+        prev, self._pending = self._pending, (iteration, packed)
+        if prev is not None:
+            self._drain(prev)
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._drain(prev)
+
+    def _drain(self, item: tuple[int, Any]) -> None:
+        iteration, packed = item
+        for off, (scalars, stats) in enumerate(
+            self.trainer.fetch_logs_chunk(packed)
+        ):
+            self.handle(iteration + off, scalars, stats)

@@ -29,11 +29,18 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Aligned head-pair (Dh=64) kernel variant: "rows" (default, r3) stacks the
+# two masked q halves along the row axis for 2 batched MXU ops per pair;
+# "unrolled" is the r2 per-(batch, pair) loop, kept for A/B measurement.
+_PAIR_VARIANT = os.environ.get("CLIP_PPO_ATTN_PAIR_VARIANT", "rows")
 
 
 def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
@@ -51,6 +58,111 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
     b_blk = qkv_ref.shape[0]
     d = heads * d_head
     gt = group * t
+
+    if (d_head * 2 == 128 and heads % 2 == 0 and group == 1
+            and _PAIR_VARIANT == "packed"):
+        # Fully-packed pair path (r3 experiment): like "rows" below but
+        # ALL head pairs ride one batched score + one batched AV matmul
+        # per block. One VMEM relayout gathers the pairs' 128-lane slices
+        # onto a batch axis ([B, T, P·128] → [B·P, T, 128]); the masked
+        # row-stacking and the no-waste k/v contraction are identical to
+        # "rows".
+        p_cnt = heads // 2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
+        mlo = lane < d_head
+        # Masks are applied in the NATURAL [B, T, D] layout (a 2D mask
+        # broadcasting into the relayouted pair view hits Mosaic's
+        # unimplemented sublane broadcast).
+        lane_d = jax.lax.broadcasted_iota(jnp.int32, (t, d), 1)
+        mlo_d = (lane_d % 128) < d_head
+        if causal:
+            rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
+            cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
+            causal_ok = rr >= cc
+
+        def to_pairs(x):  # [B, T, P·128] → [B·P, T, 128]
+            return (
+                x.reshape(b_blk, t, p_cnt, 128)
+                .swapaxes(1, 2)
+                .reshape(b_blk * p_cnt, t, 128)
+            )
+
+        q_full = qkv_ref[:, :, :d]
+        k_all = to_pairs(qkv_ref[:, :, d:2 * d])
+        v_all = to_pairs(qkv_ref[:, :, 2 * d:])
+        qs = jnp.concatenate(
+            [
+                to_pairs(jnp.where(mlo_d, q_full, 0)),
+                to_pairs(jnp.where(mlo_d, 0, q_full)),
+            ],
+            axis=1,
+        )                                                     # [B·P, 2T, 128]
+        s = jax.lax.dot_general(
+            qs * scale, k_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [B·P, 2T, T]
+        if causal:
+            s = jnp.where(causal_ok, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(v_all.dtype)
+        o2 = jax.lax.dot_general(
+            p, v_all, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                     # [B·P, 2T, 128]
+        o = jnp.where(mlo, o2[:, :t, :], o2[:, t:, :])        # [B·P, T, 128]
+        o = (
+            o.reshape(b_blk, p_cnt, t, 128)
+            .swapaxes(1, 2)
+            .reshape(b_blk, t, d)
+        )
+        o_ref[:, :, :] = o.astype(o_ref.dtype)
+        return
+
+    if (d_head * 2 == 128 and heads % 2 == 0 and group == 1
+            and _PAIR_VARIANT == "rows"):
+        # Row-stacked head-pair path (r3): same disjoint-lane-mask
+        # observation as the unrolled pair path below, but exploited
+        # without ANY wasted MACs or per-(batch, pair) Python unrolling.
+        # Key identity: with q's lanes masked to one head's half,
+        # q_half · k2ᵀ = q_half · k_half ᵀ exactly (the other half's
+        # contributions multiply the zeroed lanes), so k and v never need
+        # masking or duplication. Stack the two masked q variants along
+        # the ROW axis → one [B_blk, 2T, 128] × [B_blk, T, 128]ᵀ batched
+        # score matmul per pair (rows 0..T-1 = lo head's [T, T] scores,
+        # rows T..2T-1 = hi head's), softmax over the true T-length rows,
+        # one batched [B_blk, 2T, T] × [B_blk, T, 128] AV matmul, then a
+        # lane-select merges the halves. Per block this is 2 batched MXU
+        # ops per pair (12 for ViT-B/32) instead of 4 dots × B_blk × 6
+        # pairs = 192 small ones — same FLOPs, ~16× fewer instructions,
+        # fuller sublane occupancy (2T=100 rows vs 50).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
+        mlo = lane < d_head
+        mhi = lane >= d_head
+        if causal:
+            rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
+            cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
+            causal_ok = rr >= cc
+        dims = (((2,), (2,)), ((0,), (0,)))
+        av_dims = (((2,), (1,)), ((0,), (0,)))
+        for hp in range(heads // 2):
+            sl = slice(hp * 128, (hp + 1) * 128)
+            q2 = qkv_ref[:, :, sl]                            # [B, T, 128]
+            k2 = qkv_ref[:, :, d + hp * 128: d + (hp + 1) * 128]
+            v2 = qkv_ref[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
+            qs = jnp.concatenate(
+                [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
+            )                                                 # [B, 2T, 128]
+            s = jax.lax.dot_general(
+                qs * scale, k2, dims, preferred_element_type=jnp.float32
+            )                                                 # [B, 2T, T]
+            if causal:
+                s = jnp.where(causal_ok, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1).astype(v2.dtype)
+            o2 = jax.lax.dot_general(
+                p, v2, av_dims, preferred_element_type=jnp.float32
+            )                                                 # [B, 2T, 128]
+            o = jnp.where(mlo, o2[:, :t, :], o2[:, t:, :])
+            o_ref[:, :, sl] = o.astype(o_ref.dtype)
+        return
 
     if d_head * 2 == 128 and heads % 2 == 0 and group == 1:
         # Aligned head-pair path (ViT-B/32, ViT-L/14, the text towers:

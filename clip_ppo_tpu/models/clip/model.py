@@ -176,11 +176,33 @@ def attention(
     return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
 
 
+def _use_fused_block(impl: str, mask, batch: int) -> bool:
+    """Block-fusion kernels (pallas_block.py): the whole pre-LN resblock
+    as two Pallas passes, so the [B,T,3D] qkv and [B,T,4D] MLP hidden
+    intermediates (and the LN outputs) never round-trip HBM. Opt-in via
+    ``attention_impl="block"`` until measured faster than "auto"'s
+    fused-qkv path on hardware."""
+    if mask is not None and not isinstance(mask, str):
+        return False
+    return impl == "block" and (
+        batch >= 64 or jax.default_backend() != "tpu"
+    )
+
+
 def resblock(
     p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Pre-LN transformer block with QuickGELU MLP (width → 4·width)."""
+    if _use_fused_block(impl, mask, x.shape[0]):
+        from clip_ppo_tpu.models.clip.pallas_block import (
+            fused_attn_block,
+            fused_mlp_block,
+        )
+
+        x = fused_attn_block(x, p["ln_1"], p["attn"], heads,
+                             causal=(mask == "causal"))
+        return fused_mlp_block(x, p["ln_2"], p["mlp"])
     x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask, impl)
     h = layer_norm(p["ln_2"], x)
     h = h @ p["mlp"]["fc_w"].astype(x.dtype).T + p["mlp"]["fc_b"].astype(x.dtype)

@@ -1,0 +1,374 @@
+"""Block-fused Pallas TPU kernels for the CLIP pre-LN transformer.
+
+The r2 fused-qkv attention kernel removed the HBM head-split relayout;
+what remains between matmuls on the XLA path is LayerNorm round trips
+and large intermediates (the [B, T, 3D] qkv buffer, the [B, T, 4D] MLP
+hidden) each paying an HBM write + read. These kernels fuse each half
+of the reference's pre-LN resblock (`/root/reference/shared` CLIP
+dependency; see models/clip/model.py:179-189 for the block math) into
+one VMEM-resident pass per batch block:
+
+* :func:`fused_attn_block` — LN1 (fp32 stats) → fused qkv projection →
+  head-pair attention (same row-stacked math as
+  ``pallas_attention._fused_qkv_kernel``'s "rows" variant) → output
+  projection → residual add. The [B, T, 3D] qkv tensor never exists in
+  HBM.
+* :func:`fused_mlp_block` — LN2 → fc → QuickGELU → proj → residual.
+  The [B, T, 4D] hidden never exists in HBM.
+
+Weights ride as full-block operands with constant index maps, so Mosaic
+keeps them resident in VMEM across the batch grid instead of re-copying
+per step. Both kernels are differentiable via custom VJPs that
+recompute the backward pass through the XLA reference formulation
+(rare path — every hot consumer is a frozen tower).
+
+Opt-in via ``attention_impl="block"`` (see model._use_fused_block);
+flipped into "auto" only if measured faster than the r2 default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln(x3: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm with fp32 statistics; ``g``/``b`` are [1, D] rows."""
+    xf = x3.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    cent = xf - mean
+    var = (cent * cent).mean(axis=-1, keepdims=True)
+    y = cent * jax.lax.rsqrt(var + eps)
+    y = y * g.astype(jnp.float32)[None] + b.astype(jnp.float32)[None]
+    return y.astype(x3.dtype)
+
+
+def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
+                    scale: float, causal: bool) -> jax.Array:
+    """Row-stacked head-pair attention on a VMEM-resident [Bb, T, 3D]
+    qkv value (the "rows" variant of pallas_attention._fused_qkv_kernel;
+    see that kernel for the disjoint-lane-mask identity)."""
+    bb = qkv.shape[0]
+    d = heads * d_head
+    if d_head * 2 == 128 and heads % 2 == 0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
+        mlo = lane < d_head
+        mhi = lane >= d_head
+        if causal:
+            rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
+            cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
+            causal_ok = rr >= cc
+        dims = (((2,), (2,)), ((0,), (0,)))
+        av_dims = (((2,), (1,)), ((0,), (0,)))
+        outs = []
+        for hp in range(heads // 2):
+            sl = slice(hp * 128, (hp + 1) * 128)
+            q2 = qkv[:, :, sl]
+            k2 = qkv[:, :, d + hp * 128: d + (hp + 1) * 128]
+            v2 = qkv[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
+            qs = jnp.concatenate(
+                [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
+            )
+            s = jax.lax.dot_general(
+                qs * scale, k2, dims, preferred_element_type=jnp.float32
+            )
+            if causal:
+                s = jnp.where(causal_ok, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1).astype(v2.dtype)
+            o2 = jax.lax.dot_general(
+                p, v2, av_dims, preferred_element_type=jnp.float32
+            )
+            outs.append(jnp.where(mlo, o2[:, :t, :], o2[:, t:, :]))
+        return jnp.concatenate(outs, axis=-1).astype(qkv.dtype)
+    # generic per-head fallback (d_head != 64)
+    if causal:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        causal_ok = rr >= cc
+    dims = (((2,), (2,)), ((0,), (0,)))
+    av_dims = (((2,), (1,)), ((0,), (0,)))
+    outs = []
+    for h in range(heads):
+        q = qkv[:, :, h * d_head:(h + 1) * d_head]
+        k = qkv[:, :, d + h * d_head:d + (h + 1) * d_head]
+        v = qkv[:, :, 2 * d + h * d_head:2 * d + (h + 1) * d_head]
+        s = jax.lax.dot_general(
+            q * scale, k, dims, preferred_element_type=jnp.float32
+        )
+        if causal:
+            s = jnp.where(causal_ok, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, av_dims, preferred_element_type=jnp.float32
+        ))
+    return jnp.concatenate(outs, axis=-1).astype(qkv.dtype)
+
+
+def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                       g_ref, b_ref, o_ref, *, heads: int, t: int,
+                       d_head: int, scale: float, causal: bool, eps: float):
+    bb = x_ref.shape[0]
+    d = heads * d_head
+    x = x_ref[...]                                    # [Bb, T, D]
+    y = _ln(x, g_ref[...], b_ref[...], eps)
+    y2 = y.reshape(bb * t, d)
+    qkv = jax.lax.dot_general(
+        y2, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(x.dtype).reshape(bb, t, 3 * d)
+    attn = _pair_attention(qkv, heads, t, d_head, scale, causal)
+    out = jax.lax.dot_general(
+        attn.reshape(bb * t, d), wout_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bout_ref[...].astype(jnp.float32)
+    o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
+
+
+def _mlp_block_kernel(x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
+                      g_ref, b_ref, o_ref, *, t: int, eps: float):
+    bb, _, d = x_ref.shape
+    x = x_ref[...]
+    y = _ln(x, g_ref[...], b_ref[...], eps)
+    h = jax.lax.dot_general(
+        y.reshape(bb * t, d), wfc_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bfc_ref[...].astype(jnp.float32)
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)   # QuickGELU
+    out = jax.lax.dot_general(
+        h, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference formulations (shared by the custom-VJP backward passes and
+# the interpret-mode parity tests)
+# ---------------------------------------------------------------------------
+
+
+def _ln_ref(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _attn_block_ref(x, wqkv, bqkv, wout, bout, g, b, heads, causal, eps):
+    bsz, t, d = x.shape
+    dh = d // heads
+    y = _ln_ref(x, g[0], b[0], eps)
+    qkv = (y.reshape(bsz * t, d) @ wqkv + bqkv.astype(y.dtype))
+    qkv = qkv.reshape(bsz, t, 3 * d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(bsz, t, heads, dh)
+    k = k.reshape(bsz, t, heads, dh)
+    v = v.reshape(bsz, t, heads, dh)
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q / np.sqrt(dh), k)
+    if causal:
+        logits = logits + jnp.triu(jnp.full((t, t), -jnp.inf), k=1)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bhqk,bkhc->bqhc", w, v).reshape(bsz * t, d)
+    return x + (attn @ wout + bout.astype(x.dtype)).reshape(bsz, t, d)
+
+
+def _mlp_block_ref(x, wfc, bfc, wproj, bproj, g, b, eps):
+    bsz, t, d = x.shape
+    y = _ln_ref(x, g[0], b[0], eps)
+    h = y.reshape(bsz * t, d) @ wfc + bfc.astype(y.dtype)
+    h = h * jax.nn.sigmoid(1.702 * h)
+    return x + (h @ wproj + bproj.astype(x.dtype)).reshape(bsz, t, d)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+
+def _row(v: jax.Array, dtype) -> jax.Array:
+    """[D] param vector → [1, D] VMEM-friendly row in the compute dtype."""
+    return v.astype(dtype).reshape(1, -1)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_block(b: int, t: int, d3: int, itemsize: int,
+                requested: Optional[int]) -> int:
+    if requested is not None:
+        return requested
+    block_bytes = t * d3 * itemsize
+    return max(1, min(8, (4 << 20) // block_bytes))
+
+
+def _blocked_call(kernel, x, weight_ops, block_batches, interpret):
+    """Grid over batch blocks; weights as constant-index full blocks."""
+    b, t, d = x.shape
+    pad = (-b) % block_batches
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, t, d), x.dtype)], axis=0)
+    blocks = (b + pad) // block_batches
+    in_specs = [pl.BlockSpec((block_batches, t, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_full_spec(w.shape) for w in weight_ops]
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_batches, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b + pad, t, d), x.dtype),
+        interpret=interpret,
+    )(x, *weight_ops)
+    return out[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attn_block_p(x, wqkv, bqkv, wout, bout, g, b,
+                  heads, causal, eps, block_batches, interpret):
+    return _attn_block_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                                heads, causal, eps, block_batches, interpret)
+
+
+def _attn_block_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                         heads, causal, eps, block_batches, interpret):
+    bsz, t, d = x.shape
+    scale = 1.0 / np.sqrt(d // heads)
+    bb = _pick_block(bsz, t, 3 * d, x.dtype.itemsize, block_batches)
+    kernel = functools.partial(
+        _attn_block_kernel, heads=heads, t=t, d_head=d // heads,
+        scale=scale, causal=causal, eps=eps,
+    )
+    return _blocked_call(kernel, x, [wqkv, bqkv, wout, bout, g, b],
+                         bb, interpret)
+
+
+def _attn_block_fwd(x, wqkv, bqkv, wout, bout, g, b,
+                    heads, causal, eps, block_batches, interpret):
+    out = _attn_block_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                               heads, causal, eps, block_batches, interpret)
+    return out, (x, wqkv, bqkv, wout, bout, g, b)
+
+
+def _attn_block_bwd(heads, causal, eps, block_batches, interpret, res, ct):
+    x, wqkv, bqkv, wout, bout, g, b = res
+    _, vjp = jax.vjp(
+        lambda *a: _attn_block_ref(*a, heads=heads, causal=causal, eps=eps),
+        x, wqkv, bqkv, wout, bout, g, b,
+    )
+    return vjp(ct)
+
+
+_attn_block_p.defvjp(_attn_block_fwd, _attn_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _mlp_block_p(x, wfc, bfc, wproj, bproj, g, b,
+                 eps, block_batches, interpret):
+    return _mlp_block_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                               eps, block_batches, interpret)
+
+
+def _mlp_block_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                        eps, block_batches, interpret):
+    bsz, t, d = x.shape
+    d4 = wfc.shape[1]
+    # the [Bb·T, 4D] hidden + both weight mats live in VMEM: budget the
+    # activation block to ~2 MB (ViT-B/32 → 4, text towers → 8).
+    if block_batches is None:
+        block_bytes = t * d4 * x.dtype.itemsize
+        block_batches = max(1, min(8, (2 << 20) // block_bytes))
+    kernel = functools.partial(_mlp_block_kernel, t=t, eps=eps)
+    return _blocked_call(kernel, x, [wfc, bfc, wproj, bproj, g, b],
+                         block_batches, interpret)
+
+
+def _mlp_block_fwd(x, wfc, bfc, wproj, bproj, g, b,
+                   eps, block_batches, interpret):
+    out = _mlp_block_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                              eps, block_batches, interpret)
+    return out, (x, wfc, bfc, wproj, bproj, g, b)
+
+
+def _mlp_block_bwd(eps, block_batches, interpret, res, ct):
+    x, wfc, bfc, wproj, bproj, g, b = res
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_block_ref(*a, eps=eps),
+        x, wfc, bfc, wproj, bproj, g, b,
+    )
+    return vjp(ct)
+
+
+_mlp_block_p.defvjp(_mlp_block_fwd, _mlp_block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entries (consume model.py param dicts)
+# ---------------------------------------------------------------------------
+
+
+def fused_attn_block(
+    x: jax.Array,
+    ln1: dict,
+    attn: dict,
+    heads: int,
+    causal: bool = False,
+    eps: float = 1e-5,
+    block_batches: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``x + out_proj(attention(qkv_proj(LN(x))))`` in one Pallas pass.
+
+    ``ln1``/``attn`` are model.py resblock sub-dicts (`ln_1`, `attn`).
+    The qkv and attention intermediates never touch HBM. Differentiable
+    via a custom VJP that recomputes through the XLA reference.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dt = x.dtype
+    return _attn_block_p(
+        x,
+        attn["in_proj_w"].astype(dt).T,
+        _row(attn["in_proj_b"], dt),
+        attn["out_proj_w"].astype(dt).T,
+        _row(attn["out_proj_b"], dt),
+        _row(ln1["scale"], dt),
+        _row(ln1["bias"], dt),
+        heads, causal, eps, block_batches, interpret,
+    )
+
+
+def fused_mlp_block(
+    x: jax.Array,
+    ln2: dict,
+    mlp: dict,
+    eps: float = 1e-5,
+    block_batches: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``x + proj(quick_gelu(fc(LN(x))))`` in one Pallas pass; the
+    [B, T, 4D] hidden never touches HBM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dt = x.dtype
+    return _mlp_block_p(
+        x,
+        mlp["fc_w"].astype(dt).T,
+        _row(mlp["fc_b"], dt),
+        mlp["proj_w"].astype(dt).T,
+        _row(mlp["proj_b"], dt),
+        _row(ln2["scale"], dt),
+        _row(ln2["bias"], dt),
+        eps, block_batches, interpret,
+    )

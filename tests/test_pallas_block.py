@@ -1,0 +1,131 @@
+"""Block-fusion Pallas kernels vs the XLA resblock path (interpret on CPU).
+
+`pallas_block.fused_attn_block` / `fused_mlp_block` fuse each half of the
+pre-LN resblock into one VMEM pass; these tests pin their math (and the
+custom-VJP gradients) to the einsum/`layer_norm` reference in model.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_ppo_tpu.models.clip import CLIPConfig
+from clip_ppo_tpu.models.clip.model import (
+    attention,
+    encode_image,
+    encode_text,
+    init_clip_params,
+    layer_norm,
+    resblock,
+)
+from clip_ppo_tpu.models.clip.pallas_block import (
+    fused_attn_block,
+    fused_mlp_block,
+)
+
+SMALL = CLIPConfig(
+    embed_dim=32, image_size=56, patch_size=28, vision_width=128,
+    vision_layers=2, vision_heads=2, text_width=128, text_heads=2,
+    text_layers=1, vocab_size=128, context_length=8,
+)
+
+
+def _block_params(width=128, seed=0):
+    cfg = CLIPConfig(embed_dim=32, vision_width=width, vision_layers=1,
+                     vision_heads=2, text_layers=1)
+    p = init_clip_params(jax.random.PRNGKey(seed), cfg)
+    return p["visual"]["transformer"]["resblocks"][0]
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_block_matches_reference(causal):
+    p = _block_params()
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 10, 128))
+    mask = "causal" if causal else None
+    ref = x + attention(p["attn"], layer_norm(p["ln_1"], x), 2, mask,
+                        impl="xla")
+    out = fused_attn_block(x, p["ln_1"], p["attn"], 2, causal=causal,
+                           block_batches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attn_block_pair_path():
+    # d_head = 64 exercises the row-stacked head-pair path (the hot one).
+    p = _block_params(width=128)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 7, 128))
+    ref = x + attention(p["attn"], layer_norm(p["ln_1"], x), 2, None,
+                        impl="xla")
+    out = fused_attn_block(x, p["ln_1"], p["attn"], 2, block_batches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_block_matches_reference():
+    p = _block_params()
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, 10, 128))
+    h = layer_norm(p["ln_2"], x)
+    h = h @ p["mlp"]["fc_w"].T + p["mlp"]["fc_b"]
+    h = h * jax.nn.sigmoid(1.702 * h)
+    ref = x + h @ p["mlp"]["proj_w"].T + p["mlp"]["proj_b"]
+    out = fused_mlp_block(x, p["ln_2"], p["mlp"], block_batches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_resblock_impl_block_parity():
+    p = _block_params()
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 9, 128))
+    ref = resblock(p, x, 2, impl="xla")
+    out = resblock(p, x, 2, impl="block")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encode_image_block_parity():
+    params = init_clip_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jax.random.uniform(jax.random.PRNGKey(5), (3, 56, 56, 3))
+    ref = encode_image(params, SMALL, imgs, attention_impl="xla")
+    out = encode_image(params, SMALL, imgs, attention_impl="block")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encode_text_block_parity():
+    params = init_clip_params(jax.random.PRNGKey(0), SMALL)
+    toks = jnp.zeros((3, 8), jnp.int32).at[:, 0].set(1).at[:, 5].set(127)
+    ref = encode_text(params, SMALL, toks, attention_impl="xla")
+    out = encode_text(params, SMALL, toks, attention_impl="block")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_block_kernels_grad_matches_xla():
+    """The custom VJPs (einsum-recompute) must match XLA's gradients."""
+    p = _block_params()
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 6, 128))
+
+    def loss(impl):
+        return lambda x: jnp.sum(resblock(p, x, 2, impl=impl) ** 2)
+
+    g_ref = jax.grad(loss("xla"))(x)
+    g_blk = jax.grad(loss("block"))(x)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_blk) / scale,
+                               np.asarray(g_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_block_padding():
+    # batch 5 with block_batches=4 exercises the zero-padding path; the
+    # padded rows' LN sees all-zero input (var=0) and must not poison
+    # real rows.
+    p = _block_params()
+    x = jax.random.normal(jax.random.PRNGKey(7), (5, 10, 128))
+    ref = resblock(p, x, 2, impl="xla")
+    out_a = fused_attn_block(x, p["ln_1"], p["attn"], 2, block_batches=4)
+    out = fused_mlp_block(out_a, p["ln_2"], p["mlp"], block_batches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

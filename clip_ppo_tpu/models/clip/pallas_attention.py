@@ -18,10 +18,13 @@ earlier (batch, head)-pair block-diagonal packing experiment; it kept
 the host-side [B,S,H,D] relayout and so only reached ~5% — retained as a
 reference point and for its packing machinery.
 
-Both are forward-only: every consumer sits behind ``stop_gradient``
-(frozen CLIP towers) or outside the differentiated loss, so no VJP is
-required; pass ``attention_impl="xla"`` to differentiate through the
-tower. Off-TPU the interpreter runs the same code for tests.
+``fused_qkv_attention`` is differentiable via a custom VJP that
+recomputes the backward pass through the einsum formulation (the hot
+consumers are frozen towers, so backward is the rare path);
+``packed_attention`` stays forward-only. Off-TPU the interpreter runs
+the same kernel code for tests. See pallas_block.py for the r3
+block-fusion kernels that subsume this one when ``attention_impl=
+"block"``.
 """
 
 from __future__ import annotations

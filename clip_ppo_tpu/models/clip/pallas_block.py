@@ -362,6 +362,18 @@ def fused_mlp_block(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dt = x.dtype
+    d = x.shape[-1]
+    d4 = mlp["fc_w"].shape[0]
+    if not interpret and 2 * d * d4 * jnp.dtype(dt).itemsize > (12 << 20):
+        # ViT-L/14-class widths: both weight mats can't stay VMEM-resident
+        # (1024×4096×2 ≈ 16.8 MB bf16 > VMEM) — keep the XLA formulation
+        # for this half of the block until the d4-chunked grid variant is
+        # measured worthwhile.
+        return _mlp_block_ref(
+            x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),
+            mlp["proj_w"].astype(dt).T, _row(mlp["proj_b"], dt),
+            _row(ln2["scale"], dt), _row(ln2["bias"], dt), eps,
+        )
     return _mlp_block_p(
         x,
         mlp["fc_w"].astype(dt).T,

@@ -129,3 +129,20 @@ def test_block_padding():
     out = fused_mlp_block(out_a, p["ln_2"], p["mlp"], block_batches=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_vmem_fallback_large_width():
+    """ViT-L/14-class widths exceed the VMEM weight budget; interpret=False
+    must route to the XLA formulation (no pallas_call) and stay exact."""
+    cfg = CLIPConfig(embed_dim=32, vision_width=1024, vision_layers=1,
+                     vision_heads=16, text_layers=1)
+    p = init_clip_params(jax.random.PRNGKey(8), cfg)
+    blk = p["visual"]["transformer"]["resblocks"][0]
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 1024))
+    h = layer_norm(blk["ln_2"], x)
+    h = h @ blk["mlp"]["fc_w"].T + blk["mlp"]["fc_b"]
+    h = h * jax.nn.sigmoid(1.702 * h)
+    ref = x + h @ blk["mlp"]["proj_w"].T + blk["mlp"]["proj_b"]
+    out = fused_mlp_block(x, blk["ln_2"], blk["mlp"], interpret=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

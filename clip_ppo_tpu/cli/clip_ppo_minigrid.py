@@ -77,11 +77,13 @@ class MiniGridClipPPOConfig(clip_utils.ClipPPOConfig):
     disturbance_severity: str = "MODERATE"
     """moderate disturbances work well for MiniGrid"""
     structured_frozen_init: bool = False
-    """FROZEN_CLIP only, no reference equivalent: when no pretrained
-    checkpoint exists, distill the frozen tower on device to pixel-PCA
-    features of random-policy observations before training, so the
-    ablation's actor/critic heads have learnable features (a random-init
-    frozen ViT does not; see models/distill.py)"""
+    """no reference equivalent: when no pretrained checkpoint exists,
+    distill the CLIP visual tower on device to pixel-PCA features of
+    random-policy observations before training. With FROZEN_CLIP this
+    makes the frozen trunk's features learnable by the actor/critic
+    heads; with an active image-modality CLIP loss it makes the
+    alignment target non-degenerate (a random-init ViT's embeddings
+    barely separate states; see models/distill.py)"""
 
 
 @dataclass
@@ -221,13 +223,10 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if compute_clip or cc.ablation_mode == AblationMode.FROZEN_CLIP:
         clip_params, clip_cfg = clip_utils.load_clip_model(cc.clip_model)
 
-    if (
-        cc.ablation_mode == AblationMode.FROZEN_CLIP
-        and cc.structured_frozen_init
-    ):
+    if clip_params is not None and cc.structured_frozen_init:
         from clip_ppo_tpu.models import distill
 
-        print("Distilling frozen tower to pixel-PCA features...")
+        print("Distilling CLIP visual tower to pixel-PCA features...")
         obs_samples = distill.collect_random_observations(
             env, jax.random.PRNGKey(args.seed + 2),
             num_steps=max(256 // args.num_envs, 8),

@@ -49,12 +49,19 @@ def _ln(x3: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
     return y.astype(x3.dtype)
 
 
-def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
+def _pair_attention(qkv_ref, heads: int, t: int, d_head: int,
                     scale: float, causal: bool) -> jax.Array:
-    """Row-stacked head-pair attention on a VMEM-resident [Bb, T, 3D]
-    qkv value (the "rows" variant of pallas_attention._fused_qkv_kernel;
-    see that kernel for the disjoint-lane-mask identity)."""
-    bb = qkv.shape[0]
+    """Row-stacked head-pair attention on a VMEM scratch ref holding the
+    [Bb, T, 3D] qkv projection (the "rows" variant of
+    pallas_attention._fused_qkv_kernel; see that kernel for the
+    disjoint-lane-mask identity).
+
+    Takes a *ref*, not a value: slicing the staged scratch gives each
+    q2/k2/v2 a clean tiled layout, which is what Mosaic's mask broadcast
+    supports — the same wheres on lane-slices of the reshaped matmul
+    value fail AOT compile with "Not implemented: Sublane broadcast".
+    """
+    bb = qkv_ref.shape[0]
     d = heads * d_head
     if d_head * 2 == 128 and heads % 2 == 0:
         lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
@@ -69,9 +76,9 @@ def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
         outs = []
         for hp in range(heads // 2):
             sl = slice(hp * 128, (hp + 1) * 128)
-            q2 = qkv[:, :, sl]
-            k2 = qkv[:, :, d + hp * 128: d + (hp + 1) * 128]
-            v2 = qkv[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
+            q2 = qkv_ref[:, :, sl]
+            k2 = qkv_ref[:, :, d + hp * 128: d + (hp + 1) * 128]
+            v2 = qkv_ref[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
             qs = jnp.concatenate(
                 [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
             )
@@ -85,7 +92,7 @@ def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
                 p, v2, av_dims, preferred_element_type=jnp.float32
             )
             outs.append(jnp.where(mlo, o2[:, :t, :], o2[:, t:, :]))
-        return jnp.concatenate(outs, axis=-1).astype(qkv.dtype)
+        return jnp.concatenate(outs, axis=-1).astype(qkv_ref.dtype)
     # generic per-head fallback (d_head != 64)
     if causal:
         rr = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -95,9 +102,9 @@ def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
     av_dims = (((2,), (1,)), ((0,), (0,)))
     outs = []
     for h in range(heads):
-        q = qkv[:, :, h * d_head:(h + 1) * d_head]
-        k = qkv[:, :, d + h * d_head:d + (h + 1) * d_head]
-        v = qkv[:, :, 2 * d + h * d_head:2 * d + (h + 1) * d_head]
+        q = qkv_ref[:, :, h * d_head:(h + 1) * d_head]
+        k = qkv_ref[:, :, d + h * d_head:d + (h + 1) * d_head]
+        v = qkv_ref[:, :, 2 * d + h * d_head:2 * d + (h + 1) * d_head]
         s = jax.lax.dot_general(
             q * scale, k, dims, preferred_element_type=jnp.float32
         )
@@ -107,12 +114,13 @@ def _pair_attention(qkv: jax.Array, heads: int, t: int, d_head: int,
         outs.append(jax.lax.dot_general(
             p, v, av_dims, preferred_element_type=jnp.float32
         ))
-    return jnp.concatenate(outs, axis=-1).astype(qkv.dtype)
+    return jnp.concatenate(outs, axis=-1).astype(qkv_ref.dtype)
 
 
 def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                       g_ref, b_ref, o_ref, *, heads: int, t: int,
-                       d_head: int, scale: float, causal: bool, eps: float):
+                       g_ref, b_ref, o_ref, qkv_scratch, *, heads: int,
+                       t: int, d_head: int, scale: float, causal: bool,
+                       eps: float):
     bb = x_ref.shape[0]
     d = heads * d_head
     x = x_ref[...]                                    # [Bb, T, D]
@@ -122,8 +130,10 @@ def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         y2, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype).reshape(bb, t, 3 * d)
-    attn = _pair_attention(qkv, heads, t, d_head, scale, causal)
+    # Stage qkv through VMEM scratch: _pair_attention needs ref slices
+    # (see its docstring for the Mosaic layout constraint).
+    qkv_scratch[...] = qkv.astype(x.dtype).reshape(bb, t, 3 * d)
+    attn = _pair_attention(qkv_scratch, heads, t, d_head, scale, causal)
     out = jax.lax.dot_general(
         attn.reshape(bb * t, d), wout_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -212,7 +222,8 @@ def _pick_block(b: int, t: int, d3: int, itemsize: int,
     return max(1, min(8, (4 << 20) // block_bytes))
 
 
-def _blocked_call(kernel, x, weight_ops, block_batches, interpret):
+def _blocked_call(kernel, x, weight_ops, block_batches, interpret,
+                  scratch_shapes=()):
     """Grid over batch blocks; weights as constant-index full blocks."""
     b, t, d = x.shape
     pad = (-b) % block_batches
@@ -229,6 +240,7 @@ def _blocked_call(kernel, x, weight_ops, block_batches, interpret):
         out_specs=pl.BlockSpec((block_batches, t, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b + pad, t, d), x.dtype),
+        scratch_shapes=list(scratch_shapes),
         interpret=interpret,
     )(x, *weight_ops)
     return out[:b]
@@ -251,7 +263,8 @@ def _attn_block_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
         scale=scale, causal=causal, eps=eps,
     )
     return _blocked_call(kernel, x, [wqkv, bqkv, wout, bout, g, b],
-                         bb, interpret)
+                         bb, interpret,
+                         scratch_shapes=[pltpu.VMEM((bb, t, 3 * d), x.dtype)])
 
 
 def _attn_block_fwd(x, wqkv, bqkv, wout, bout, g, b,

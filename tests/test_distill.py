@@ -86,3 +86,39 @@ def test_cli_flag_runs_frozen_clip_with_structured_init(tmp_path, monkeypatch):
     )
     out = cpm.train(args, run_name="frozen_structured")
     assert out["global_step"] == 32
+
+
+def test_cli_flag_distills_for_image_modality(tmp_path, monkeypatch):
+    """structured_frozen_init also distills the tower when the CLIP loss
+    itself is active (image modality) — so the alignment target is
+    non-degenerate without pretrained weights — not only for the
+    FROZEN_CLIP trunk ablation."""
+    from clip_ppo_tpu.cli import clip_ppo_minigrid as cpm
+    from clip_ppo_tpu.models import clip_utils, distill
+
+    tiny_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    monkeypatch.setattr(
+        clip_utils, "load_clip_model", lambda *a, **k: (tiny_params, TINY)
+    )
+    calls = []
+    real = distill.distill_visual_tower
+
+    def spy(*a, **k):
+        calls.append(k.get("steps"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(distill, "distill_visual_tower", spy)
+    monkeypatch.chdir(tmp_path)
+    args = cpm.Args(
+        env_id="MiniGrid-Empty-5x5-v0",
+        total_timesteps=32, num_envs=2, num_steps=8,
+        num_minibatches=2, update_epochs=1,
+        capture_video=False, verbose=False, save_model=False,
+        clip_config=cpm.MiniGridClipPPOConfig(
+            clip_lambda=1e-5, clip_modality="image",
+            structured_frozen_init=True,
+        ),
+    )
+    out = cpm.train(args, run_name="image_structured")
+    assert out["global_step"] == 32
+    assert calls, "distill_visual_tower was not invoked for image modality"

@@ -1,0 +1,69 @@
+"""A/B the attention-kernel variants + block fusion on the real TPU.
+
+Usage: python _kbench.py {rows|packed|unrolled|block} [batch]
+rows/packed/unrolled select CLIP_PPO_ATTN_PAIR_VARIANT for the fused-qkv
+kernel ("auto" encode path); "block" routes encode_image through the
+pallas_block resblock fusion instead (attention_impl="block").
+"""
+import os, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+variant = sys.argv[1] if len(sys.argv) > 1 else "rows"
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+if variant != "block":
+    os.environ["CLIP_PPO_ATTN_PAIR_VARIANT"] = variant
+import clip_ppo_tpu.models.clip.pallas_attention as pa
+impl = "block" if variant == "block" else "auto"
+
+T, D, H = 50, 768, 12
+if variant != "block":
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, T, 3 * D), jnp.bfloat16)
+
+    @jax.jit
+    def stack12(qkv):
+        # chain 12 kernel calls through a data dependency (tunnel-honest)
+        x = qkv
+        for _ in range(12):
+            o = pa.fused_qkv_attention(x[:, :, :3 * D], H)
+            x = jnp.concatenate([o, o, o], axis=-1) * 0.5 + qkv * 0.5
+        return x
+
+    r = stack12(qkv)
+    _ = float(jnp.sum(r[0, 0]))  # sync
+    t0 = time.perf_counter()
+    r = stack12(qkv)
+    _ = float(jnp.sum(r[0, 0]))
+    dt = time.perf_counter() - t0
+    print(f"{variant}: 12-layer attention stack {dt*1e3:.2f} ms  ({dt/12*1e3:.3f} ms/layer)")
+
+# full encode
+from clip_ppo_tpu.models.clip import CLIPConfig
+from clip_ppo_tpu.models.clip.model import init_clip_params, encode_image
+cfg = CLIPConfig(embed_dim=512)
+params = init_clip_params(jax.random.PRNGKey(0), cfg)
+imgs = jax.random.uniform(jax.random.PRNGKey(1), (B, 224, 224, 3), jnp.float32)
+
+N = 8
+
+@jax.jit
+def encN(params, imgs):
+    x = imgs
+    for _ in range(N):
+        e = encode_image(params, cfg, x, compute_dtype=jnp.bfloat16,
+                         attention_impl=impl)
+        x = imgs + e.sum() * 1e-9
+    return x
+
+@jax.jit
+def null(imgs):
+    return jnp.sum(imgs[0, 0])
+
+_ = float(jnp.sum(encN(params, imgs)[0]))
+_ = float(null(imgs))
+t0 = time.perf_counter(); _ = float(null(imgs)); rtt = time.perf_counter() - t0
+t0 = time.perf_counter()
+_ = float(jnp.sum(encN(params, imgs)[0]))
+dt = time.perf_counter() - t0
+per = (dt - rtt) / N
+print(f"{variant}: ViT-B/32 batch-{B} encode {per*1e3:.2f} ms ({B/per:,.0f} frames/s; rtt {rtt*1e3:.1f} ms)")

@@ -1,9 +1,11 @@
 """A/B the attention-kernel variants + block fusion on the real TPU.
 
-Usage: python _kbench.py {rows|packed|unrolled|block} [batch]
+Usage: python _kbench.py {rows|packed|unrolled|block|text-qkv|text-block} [batch]
 rows/packed/unrolled select CLIP_PPO_ATTN_PAIR_VARIANT for the fused-qkv
 kernel ("auto" encode path); "block" routes encode_image through the
-pallas_block resblock fusion instead (attention_impl="block").
+pallas_block resblock fusion instead (attention_impl="block");
+text-qkv/text-block time encode_text on [B,77] tokens with the fused-qkv
+("auto") vs block-fusion causal path.
 """
 import os, sys, time
 import numpy as np
@@ -11,6 +13,40 @@ import jax, jax.numpy as jnp
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "rows"
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+
+if variant.startswith("text-"):
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import init_clip_params, encode_text
+    impl = "block" if variant == "text-block" else "auto"
+    cfg = CLIPConfig(embed_dim=512)
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, 77), 0, cfg.vocab_size)
+    toks = toks.at[:, -1].set(cfg.vocab_size - 1)  # argmax EOT at the end
+    N = 16
+
+    @jax.jit
+    def encN(params, toks):
+        e = jnp.zeros((B, cfg.embed_dim), jnp.float32)
+        for _ in range(N):
+            e = e * 1e-9 + encode_text(params, cfg, toks,
+                                       compute_dtype=jnp.bfloat16,
+                                       attention_impl=impl)
+        return e
+
+    @jax.jit
+    def null(toks):
+        return jnp.sum(toks[0])
+
+    _ = float(jnp.sum(encN(params, toks)[0]))
+    _ = float(null(toks))
+    t0 = time.perf_counter(); _ = float(null(toks)); rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(encN(params, toks)[0]))
+    dt = time.perf_counter() - t0
+    per = (dt - rtt) / N
+    print(f"{variant}: text batch-{B} encode {per*1e3:.2f} ms "
+          f"({B/per:,.0f} seqs/s; rtt {rtt*1e3:.1f} ms)")
+    sys.exit(0)
 if variant != "block":
     os.environ["CLIP_PPO_ATTN_PAIR_VARIANT"] = variant
 import clip_ppo_tpu.models.clip.pallas_attention as pa

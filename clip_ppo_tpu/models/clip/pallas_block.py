@@ -29,6 +29,7 @@ flipped into "auto" only if measured faster than the r2 default.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -218,6 +219,9 @@ def _pick_block(b: int, t: int, d3: int, itemsize: int,
                 requested: Optional[int]) -> int:
     if requested is not None:
         return requested
+    env = os.environ.get("CLIP_PPO_BLOCK_BATCHES")
+    if env:
+        return int(env)
     block_bytes = t * d3 * itemsize
     return max(1, min(8, (4 << 20) // block_bytes))
 
@@ -300,8 +304,12 @@ def _mlp_block_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
     # the [Bb·T, 4D] hidden + both weight mats live in VMEM: budget the
     # activation block to ~2 MB (ViT-B/32 → 4, text towers → 8).
     if block_batches is None:
-        block_bytes = t * d4 * x.dtype.itemsize
-        block_batches = max(1, min(8, (2 << 20) // block_bytes))
+        env = os.environ.get("CLIP_PPO_MLP_BLOCK_BATCHES")
+        if env:
+            block_batches = int(env)
+        else:
+            block_bytes = t * d4 * x.dtype.itemsize
+            block_batches = max(1, min(8, (2 << 20) // block_bytes))
     kernel = functools.partial(_mlp_block_kernel, t=t, eps=eps)
     return _blocked_call(kernel, x, [wfc, bfc, wproj, bproj, g, b],
                          block_batches, interpret)

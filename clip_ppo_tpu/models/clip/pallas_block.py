@@ -14,7 +14,10 @@ one VMEM-resident pass per batch block:
   projection → residual add. The [B, T, 3D] qkv tensor never exists in
   HBM.
 * :func:`fused_mlp_block` — LN2 → fc → QuickGELU → proj → residual.
-  The [B, T, 4D] hidden never exists in HBM.
+  The [B, T, 4D] hidden never exists in HBM. Widths whose weight mats
+  exceed the VMEM budget (ViT-L/14) route to a d4-chunked grid variant
+  that accumulates ``Σ_c gelu(LN(x) @ fc[:,c]) @ proj[c,:]`` in VMEM
+  scratch, holding only one weight slice pair per step.
 
 Weights ride as full-block operands with constant index maps, so Mosaic
 keeps them resident in VMEM across the batch grid instead of re-copying
@@ -140,6 +143,42 @@ def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         preferred_element_type=jnp.float32,
     ) + bout_ref[...].astype(jnp.float32)
     o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
+
+
+def _mlp_block_chunked_kernel(x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
+                              g_ref, b_ref, o_ref, y_scratch, acc_scratch,
+                              *, t: int, eps: float, n_chunks: int):
+    """d4-chunked MLP block for widths whose weight mats exceed VMEM.
+
+    Grid is (batch_blocks, n_chunks) with the chunk axis innermost; the
+    hidden dimension is split so each step holds only a [D, D4/n] slice
+    of ``fc`` and the matching [D4/n, D] slice of ``proj``. QuickGELU is
+    elementwise in d4, so ``out = Σ_c gelu(LN(x) @ fc[:,c]) @ proj[c,:]``
+    accumulates exactly; LN(x) is computed once per batch block (chunk 0)
+    and stashed in VMEM scratch."""
+    c = pl.program_id(1)
+    bb, _, d = x_ref.shape
+    x = x_ref[...]
+
+    @pl.when(c == 0)
+    def _init():
+        y_scratch[...] = _ln(x, g_ref[...], b_ref[...], eps)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    h = jax.lax.dot_general(
+        y_scratch[...].reshape(bb * t, d), wfc_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + bfc_ref[...].astype(jnp.float32)
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+    acc_scratch[...] += jax.lax.dot_general(
+        h, wproj_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        out = acc_scratch[...] + bproj_ref[...].astype(jnp.float32)
+        o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
 
 
 def _mlp_block_kernel(x_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
@@ -290,6 +329,77 @@ def _attn_block_bwd(heads, causal, eps, block_batches, interpret, res, ct):
 _attn_block_p.defvjp(_attn_block_fwd, _attn_block_bwd)
 
 
+def _mlp_chunked_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                          eps, block_batches, interpret):
+    bsz, t, d = x.shape
+    d4 = wfc.shape[1]
+    itemsize = x.dtype.itemsize
+    # smallest power-of-2 chunk count whose weight slices fit the budget
+    n_chunks = 2
+    while (2 * d * (d4 // n_chunks) * itemsize > (8 << 20)
+           or d4 % n_chunks) and n_chunks < d4:
+        n_chunks *= 2
+    ck = d4 // n_chunks
+    if block_batches is None:
+        env = os.environ.get("CLIP_PPO_MLP_BLOCK_BATCHES")
+        if env:
+            block_batches = int(env)
+        else:
+            # x + LN scratch + fp32 acc + out + fp32 hidden chunk per block
+            per_bb = t * d * (4 * itemsize + 8)
+            block_batches = max(1, min(4, (6 << 20) // per_bb))
+    bb = block_batches
+    pad = (-bsz) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, t, d), x.dtype)], axis=0)
+    blocks = (bsz + pad) // bb
+    kernel = functools.partial(_mlp_block_chunked_kernel, t=t, eps=eps,
+                               n_chunks=n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((bb, t, d), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ck), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ck), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ck, d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, t, d), lambda i, c: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz + pad, t, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, t, d), x.dtype),
+            pltpu.VMEM((bb * t, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, wfc, bfc, wproj, bproj, g, b)
+    return out[:bsz]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _mlp_chunked_p(x, wfc, bfc, wproj, bproj, g, b,
+                   eps, block_batches, interpret):
+    return _mlp_chunked_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                                 eps, block_batches, interpret)
+
+
+def _mlp_chunked_fwd(x, wfc, bfc, wproj, bproj, g, b,
+                     eps, block_batches, interpret):
+    out = _mlp_chunked_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                                eps, block_batches, interpret)
+    return out, (x, wfc, bfc, wproj, bproj, g, b)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _mlp_block_p(x, wfc, bfc, wproj, bproj, g, b,
                  eps, block_batches, interpret):
@@ -332,6 +442,7 @@ def _mlp_block_bwd(eps, block_batches, interpret, res, ct):
 
 
 _mlp_block_p.defvjp(_mlp_block_fwd, _mlp_block_bwd)
+_mlp_chunked_p.defvjp(_mlp_chunked_fwd, _mlp_block_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -385,15 +496,27 @@ def fused_mlp_block(
     dt = x.dtype
     d = x.shape[-1]
     d4 = mlp["fc_w"].shape[0]
-    if not interpret and 2 * d * d4 * jnp.dtype(dt).itemsize > (12 << 20):
+    if 2 * d * d4 * jnp.dtype(dt).itemsize > (12 << 20):
         # ViT-L/14-class widths: both weight mats can't stay VMEM-resident
-        # (1024×4096×2 ≈ 16.8 MB bf16 > VMEM) — keep the XLA formulation
-        # for this half of the block until the d4-chunked grid variant is
-        # measured worthwhile.
-        return _mlp_block_ref(
-            x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),
-            mlp["proj_w"].astype(dt).T, _row(mlp["proj_b"], dt),
-            _row(ln2["scale"], dt), _row(ln2["bias"], dt), eps,
+        # (1024×4096×2 ≈ 16.8 MB bf16 > VMEM) — the d4-chunked grid
+        # variant splits the hidden dim so only [D, D4/n]+[D4/n, D]
+        # slices are resident per step. CLIP_PPO_MLP_CHUNKED=0 forces the
+        # XLA formulation instead (hardware A/B escape hatch).
+        if os.environ.get("CLIP_PPO_MLP_CHUNKED", "1") == "0":
+            return _mlp_block_ref(
+                x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),
+                mlp["proj_w"].astype(dt).T, _row(mlp["proj_b"], dt),
+                _row(ln2["scale"], dt), _row(ln2["bias"], dt), eps,
+            )
+        return _mlp_chunked_p(
+            x,
+            mlp["fc_w"].astype(dt).T,
+            _row(mlp["fc_b"], dt),
+            mlp["proj_w"].astype(dt).T,
+            _row(mlp["proj_b"], dt),
+            _row(ln2["scale"], dt),
+            _row(ln2["bias"], dt),
+            eps, block_batches, interpret,
         )
     return _mlp_block_p(
         x,

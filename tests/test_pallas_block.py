@@ -131,18 +131,59 @@ def test_block_padding():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mlp_vmem_fallback_large_width():
-    """ViT-L/14-class widths exceed the VMEM weight budget; interpret=False
-    must route to the XLA formulation (no pallas_call) and stay exact."""
+def _large_width_case(seed=8):
+    """ViT-L/14-class width: 2·D·D4·itemsize crosses the 12 MB VMEM gate
+    (fp32 on CPU: 2·1024·4096·4 = 33.5 MB), so fused_mlp_block routes to
+    the d4-chunked grid kernel."""
     cfg = CLIPConfig(embed_dim=32, vision_width=1024, vision_layers=1,
                      vision_heads=16, text_layers=1)
-    p = init_clip_params(jax.random.PRNGKey(8), cfg)
+    p = init_clip_params(jax.random.PRNGKey(seed), cfg)
     blk = p["visual"]["transformer"]["resblocks"][0]
-    x = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 1024))
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (3, 5, 1024))
     h = layer_norm(blk["ln_2"], x)
     h = h @ blk["mlp"]["fc_w"].T + blk["mlp"]["fc_b"]
     h = h * jax.nn.sigmoid(1.702 * h)
     ref = x + h @ blk["mlp"]["proj_w"].T + blk["mlp"]["proj_b"]
+    return blk, x, ref
+
+
+def test_mlp_chunked_large_width():
+    """Widths over the VMEM weight budget route to the d4-chunked grid
+    kernel (only [D, D4/n] weight slices resident per step) and must
+    match the XLA formulation; batch 3 with the default block size also
+    exercises zero-padding."""
+    blk, x, ref = _large_width_case()
+    out = fused_mlp_block(x, blk["ln_2"], blk["mlp"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_chunked_grad_matches_xla():
+    blk, x, ref = _large_width_case(seed=10)
+
+    def ref_loss(x):
+        h = layer_norm(blk["ln_2"], x)
+        h = h @ blk["mlp"]["fc_w"].T + blk["mlp"]["fc_b"]
+        h = h * jax.nn.sigmoid(1.702 * h)
+        return jnp.sum((x + h @ blk["mlp"]["proj_w"].T
+                        + blk["mlp"]["proj_b"]) ** 2)
+
+    g_ref = jax.grad(ref_loss)(x)
+    g_chk = jax.grad(
+        lambda x: jnp.sum(fused_mlp_block(x, blk["ln_2"], blk["mlp"]) ** 2)
+    )(x)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_chk) / scale,
+                               np.asarray(g_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_chunked_escape_hatch(monkeypatch):
+    """CLIP_PPO_MLP_CHUNKED=0 forces the XLA formulation for over-budget
+    widths (hardware A/B escape hatch) — exact, no pallas_call even with
+    interpret=False."""
+    monkeypatch.setenv("CLIP_PPO_MLP_CHUNKED", "0")
+    blk, x, ref = _large_width_case(seed=12)
     out = fused_mlp_block(x, blk["ln_2"], blk["mlp"], interpret=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)

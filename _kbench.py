@@ -73,12 +73,15 @@ if variant != "block":
     dt = time.perf_counter() - t0
     print(f"{variant}: 12-layer attention stack {dt*1e3:.2f} ms  ({dt/12*1e3:.3f} ms/layer)")
 
-# full encode
+# full encode (CLIP_PPO_KBENCH_MODEL=ViT-L/14 switches the tower)
 from clip_ppo_tpu.models.clip import CLIPConfig
+from clip_ppo_tpu.models.clip.config import CLIP_CONFIGS
 from clip_ppo_tpu.models.clip.model import init_clip_params, encode_image
-cfg = CLIPConfig(embed_dim=512)
+model_name = os.environ.get("CLIP_PPO_KBENCH_MODEL", "ViT-B/32")
+cfg = CLIP_CONFIGS[model_name]
 params = init_clip_params(jax.random.PRNGKey(0), cfg)
-imgs = jax.random.uniform(jax.random.PRNGKey(1), (B, 224, 224, 3), jnp.float32)
+imgs = jax.random.uniform(jax.random.PRNGKey(1),
+                          (B, cfg.image_size, cfg.image_size, 3), jnp.float32)
 
 N = 8
 
@@ -102,4 +105,4 @@ t0 = time.perf_counter()
 _ = float(jnp.sum(encN(params, imgs)[0]))
 dt = time.perf_counter() - t0
 per = (dt - rtt) / N
-print(f"{variant}: ViT-B/32 batch-{B} encode {per*1e3:.2f} ms ({B/per:,.0f} frames/s; rtt {rtt*1e3:.1f} ms)")
+print(f"{variant}: {model_name} batch-{B} encode {per*1e3:.2f} ms ({B/per:,.0f} frames/s; rtt {rtt*1e3:.1f} ms)")

@@ -52,6 +52,44 @@ if variant != "block":
 import clip_ppo_tpu.models.clip.pallas_attention as pa
 impl = "block" if variant == "block" else "auto"
 
+if variant == "stack":
+    # resblock stack alone on a pre-embedded [B, T, D] batch — the
+    # difference vs the full encode is the stem (patch embed + pos +
+    # ln_pre) + head (ln_post + proj) cost.
+    from clip_ppo_tpu.models.clip.config import CLIP_CONFIGS
+    from clip_ppo_tpu.models.clip.model import init_clip_params, resblock
+    model_name = os.environ.get("CLIP_PPO_KBENCH_MODEL", "ViT-B/32")
+    cfg = CLIP_CONFIGS[model_name]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    blocks = params["visual"]["transformer"]["resblocks"]
+    tt = cfg.num_patches + 1
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (B, tt, cfg.vision_width),
+                           jnp.bfloat16)
+    N = 8
+
+    @jax.jit
+    def stackN(blocks, x0):
+        x = x0
+        for _ in range(N):
+            for blk in blocks:
+                x = resblock(blk, x, cfg.vision_heads, None, impl="block")
+            x = x0 + x.sum() * 1e-9
+        return x
+
+    @jax.jit
+    def null(x0):
+        return jnp.sum(x0[0, 0])
+
+    _ = float(jnp.sum(stackN(blocks, x0)[0, 0]))
+    _ = float(null(x0))
+    t0 = time.perf_counter(); _ = float(null(x0)); rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(stackN(blocks, x0)[0, 0]))
+    per = (time.perf_counter() - t0 - rtt) / N
+    print(f"stack: {model_name} batch-{B} {cfg.vision_layers}-block stack "
+          f"{per*1e3:.2f} ms (rtt {rtt*1e3:.1f} ms)")
+    sys.exit(0)
+
 T, D, H = 50, 768, 12
 if variant != "block":
     qkv = jax.random.normal(jax.random.PRNGKey(0), (B, T, 3 * D), jnp.bfloat16)

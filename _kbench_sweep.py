@@ -1,0 +1,151 @@
+"""One-process TPU kernel measurement battery (single tunnel client).
+
+Runs every pending kernel A/B sequentially inside ONE process so the
+tunneled device sees a single client (rapid client churn wedges it —
+CLAUDE.md). Timing is tunnel-honest: N iterations chained through a data
+dependency, one dependent scalar fetched, null-program round trip
+subtracted.
+
+Usage: python _kbench_sweep.py [section ...]
+sections: b32 text l14 stack   (default: all)
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sections = set(sys.argv[1:]) or {"b32", "text", "l14", "stack"}
+
+from clip_ppo_tpu.models.clip.config import CLIP_CONFIGS
+from clip_ppo_tpu.models.clip.model import (
+    encode_image,
+    encode_text,
+    init_clip_params,
+    resblock,
+)
+
+RESULTS = []
+
+
+def timed(label, fn, *args, n=8):
+    """Chained-iteration timing: fn folds its output back into its input
+    so iteration k depends on k-1; one dependent scalar is fetched and a
+    null-program round trip is subtracted. Returns per-iteration secs."""
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    _ = float(out.ravel()[0])          # sync after compile/warmup
+    null = jax.jit(lambda x: x.ravel()[0])
+    _ = float(null(args[-1]))
+    t0 = time.perf_counter()
+    _ = float(null(args[-1]))
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = jfn(*args)
+    _ = float(out.ravel()[0])
+    per = (time.perf_counter() - t0 - rtt) / n
+    print(f"{label}: {per * 1e3:.2f} ms/iter (rtt {rtt * 1e3:.0f} ms)",
+          flush=True)
+    RESULTS.append((label, per * 1e3))
+    return per
+
+
+def enc_image_loop(cfg, params, imgs, impl, n):
+    def fn(params, imgs):
+        x = imgs
+        for _ in range(n):
+            e = encode_image(params, cfg, x, compute_dtype=jnp.bfloat16,
+                             attention_impl=impl)
+            x = imgs + e.sum() * 1e-9
+        return x
+    return fn
+
+
+def enc_text_loop(cfg, params, toks, impl, n):
+    def fn(params, toks):
+        e = jnp.zeros((toks.shape[0], cfg.embed_dim), jnp.float32)
+        for _ in range(n):
+            e = e * 1e-9 + encode_text(params, cfg, toks,
+                                       compute_dtype=jnp.bfloat16,
+                                       attention_impl=impl)
+        return e
+    return fn
+
+
+B = int(os.environ.get("KB_BATCH", "1024"))
+N = 8
+
+if "b32" in sections:
+    cfg = CLIP_CONFIGS["ViT-B/32"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (B, 224, 224, 3),
+                              jnp.float32)
+    # block kernels (the "auto" TPU default after the r3 flip) vs the
+    # r2 fused-qkv kernel ("fused" forces it) — same-process A/B
+    for impl in ("block", "fused"):
+        timed(f"b32 encode {impl} bb=auto",
+              enc_image_loop(cfg, params, imgs, impl, N),
+              params, imgs, n=N)
+    # block-batch sweep (kernel grid block sizes)
+    for bb, mbb in ((8, 6), (16, 12), (32, 24)):
+        os.environ["CLIP_PPO_BLOCK_BATCHES"] = str(bb)
+        os.environ["CLIP_PPO_MLP_BLOCK_BATCHES"] = str(mbb)
+        timed(f"b32 encode block bb={bb}/mlp={mbb}",
+              enc_image_loop(cfg, params, imgs, "block", N),
+              params, imgs, n=N)
+        os.environ.pop("CLIP_PPO_BLOCK_BATCHES")
+        os.environ.pop("CLIP_PPO_MLP_BLOCK_BATCHES")
+
+if "text" in sections:
+    cfg = CLIP_CONFIGS["ViT-B/32"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, 77), 0,
+                              cfg.vocab_size)
+    toks = toks.at[:, -1].set(cfg.vocab_size - 1)
+    for impl in ("auto", "block"):
+        timed(f"text encode {impl}",
+              enc_text_loop(cfg, params, toks, impl, 16),
+              params, toks, n=16)
+
+if "l14" in sections:
+    cfg = CLIP_CONFIGS["ViT-L/14"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    BL = min(B, 256)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (BL, 224, 224, 3),
+                              jnp.float32)
+    # block path with the chunked MLP kernel vs the XLA-MLP fallback
+    timed(f"l14 encode block+chunked-mlp b{BL}",
+          enc_image_loop(cfg, params, imgs, "block", 4),
+          params, imgs, n=4)
+    os.environ["CLIP_PPO_MLP_CHUNKED"] = "0"
+    timed(f"l14 encode block+xla-mlp b{BL}",
+          enc_image_loop(cfg, params, imgs, "block", 4),
+          params, imgs, n=4)
+    os.environ.pop("CLIP_PPO_MLP_CHUNKED")
+    timed(f"l14 encode auto(fused-qkv attn) b{BL}",
+          enc_image_loop(cfg, params, imgs, "auto", 4),
+          params, imgs, n=4)
+
+if "stack" in sections:
+    cfg = CLIP_CONFIGS["ViT-B/32"]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    blocks = params["visual"]["transformer"]["resblocks"]
+    tt = cfg.num_patches + 1
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (B, tt, cfg.vision_width),
+                           jnp.bfloat16)
+
+    def stack_fn(blocks, x0):
+        x = x0
+        for _ in range(N):
+            for blk in blocks:
+                x = resblock(blk, x, cfg.vision_heads, None, impl="block")
+            x = x0 + x.sum() * 1e-9
+        return x
+
+    timed(f"b32 12-block stack alone b{B}", stack_fn, blocks, x0, n=N)
+
+print("\n=== summary ===")
+for label, ms in RESULTS:
+    print(f"{label:44s} {ms:8.2f} ms")

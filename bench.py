@@ -68,18 +68,22 @@ def main() -> None:
     single_iter_plus_rtt = time.perf_counter() - t0
     it += 1
 
-    # Timed region, ×4 chunks with the CLI's LogPipeline schedule: each
+    # Timed region, ×6 chunks with the CLI's LogPipeline schedule: each
     # chunk is ONE dispatch of `iters` chained iterations, and chunk k's
     # packed-log fetch happens only AFTER chunk k+1 is dispatched — the
     # ~600 KB transfer drains while the device computes the next chunk
     # (this overlap was the whole BENCH r1→r2 delta: r1 fetched one
     # scalar, r2 serialized the full packed fetch into the timed region).
     # A fetch returning marks the end of that chunk's compute, so the
-    # inter-fetch marginals are per-chunk throughput; tunnel spikes only
-    # ever inflate a marginal, so the max is the device-throughput
-    # estimate. The last chunk pays its own (un-overlapped) drain and is
-    # excluded from the marginals.
-    n_chunks = 4
+    # inter-fetch marginals are per-chunk throughput. A tunnel spike
+    # perturbs marginals in BOTH directions: it stretches the marginal
+    # it lands in, and — because the next chunk keeps computing during
+    # the stall — deflates-the-wall-clock/inflates-the-SPS of the
+    # marginal after it. max() would report that inflated outlier as
+    # device throughput; the MEDIAN of five marginals is robust to a
+    # spike pair while still rejecting a slow-tunnel-phase tail. The
+    # last chunk pays its own (un-overlapped) drain and is excluded.
+    n_chunks = 6
     marks = []
     prev = None
     t0 = time.perf_counter()
@@ -94,12 +98,13 @@ def main() -> None:
 
     times = np.diff([t0] + marks)
     chunk_sps = [iters * num_envs * num_steps / dt for dt in times]
-    sps = max(chunk_sps)
+    sps = float(np.median(chunk_sps))
     print(json.dumps({
         "metric": "ppo_minigrid_env_steps_per_sec",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_SPS, 2),
+        "estimator": "median_marginal",
         "chunk_sps": [round(s, 1) for s in chunk_sps],
         "rtt_estimate_s": round(single_iter_plus_rtt, 4),
     }))

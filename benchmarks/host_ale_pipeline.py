@@ -13,8 +13,9 @@ shapes (8 envs x 128 steps, the reference Atari defaults):
              (the r2/reference boundary, emulated inline)
   serial     HostTrainer overlap=False, 1 group (device buffers, but no
              host/device overlap)
-  pipelined  HostTrainer overlap=True, --rollout-groups 4 (the default
-             schedule on the ale backend)
+  pipelined  HostTrainer overlap=True, 2 rollout groups by default (the
+             ale backend's CLI default, clip_ppo_atari.Args.rollout_groups;
+             --groups N for deeper-pipeline comparisons)
 
 Timing is plain wall clock: every schedule synchronizes each step by
 fetching at least the action array, so there is no dispatch-rate trap
@@ -104,7 +105,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--groups", type=int, default=4)
+    ap.add_argument("--groups", type=int, default=2)
     args = ap.parse_args()
 
     fake_ale.register()

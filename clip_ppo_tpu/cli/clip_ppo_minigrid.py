@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clip_ppo_tpu.cli._logging import IterationLogger
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.envs.minigrid import core as minigrid_core
 from clip_ppo_tpu.io import (
@@ -375,52 +376,25 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         start_iteration = it + 1
 
     rand_key = jax.random.PRNGKey(args.seed + 1)
-    start_time = time.time()
-    last_returns: list[float] = []
-    b_returns = None  # last GAE batch returns (`checkpoint_utils.py:21-29`)
 
     use_split_path = (
         compute_clip and not fused_image_path and not fused_text_path
         and embed_random_fn is None
     )
 
-    def handle(it, scalars, episode_stats):
-        nonlocal global_step, b_returns
-        profiler.step(it)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
-            )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        b_returns = episode_stats.get("b_returns", b_returns)
-        global_step += args.batch_size
+    logger = IterationLogger(
+        writer, profiler, recorder, num_envs=args.num_envs,
+        batch_size=args.batch_size, num_iterations=args.num_iterations,
+        log_clip_loss=True,
+        verbose_fn=(
+            (lambda it, scalars: clip_utils.verbose_debug_print(
+                it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars))
+            if compute_clip and args.verbose else None
+        ),
+    )
+    logger.global_step = global_step  # 0 or the resumed checkpoint's
 
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        # Logged unconditionally like the reference (`clip_ppo_minigrid.py:584`).
-        writer.add_scalar("losses/clip_loss", float(scalars["clip_loss"]), global_step)
-        if compute_clip and args.verbose:
-            clip_utils.verbose_debug_print(
-                it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars
-            )
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
-
-    pipeline = LogPipeline(trainer, handle)
+    pipeline = LogPipeline(trainer, logger.handle)
     iteration = start_iteration
     while iteration <= args.num_iterations:
         if use_split_path:
@@ -445,7 +419,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             state, scalars = trainer.run_update_half(
                 state, flat, iteration, clip_embeddings
             )
-            handle(iteration, *trainer.fetch_logs(scalars, episode_stats))
+            logger.handle(iteration, *trainer.fetch_logs(scalars, episode_stats))
         else:
             # Fused paths: K iterations per device dispatch, chunk ends
             # aligned to checkpoint boundaries, each chunk's packed log
@@ -464,14 +438,16 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             pipeline.flush()
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration - 1, global_step, args, b_returns=b_returns,
+                iteration - 1, logger.global_step, args,
+                b_returns=logger.b_returns,
             )
     pipeline.flush()
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, b_returns=b_returns,
+            args.num_iterations, logger.global_step, args,
+            b_returns=logger.b_returns,
             final=True,
         )
 
@@ -481,9 +457,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     env.close()
     writer.close()
     return {
-        "global_step": global_step,
-        "sps": global_step / (time.time() - start_time),
-        "recent_returns": last_returns[-100:],
+        "global_step": logger.global_step,
+        "sps": logger.sps,
+        "recent_returns": logger.last_returns[-100:],
         "run_name": run_name,
     }
 

@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from clip_ppo_tpu.cli._logging import IterationLogger
 from clip_ppo_tpu.envs import AtariVectorEnv
 from clip_ppo_tpu.io import (
     ProfilerWindow,
@@ -175,45 +176,17 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     )
     state = trainer.init_state(params, args.seed)
 
-    global_step = 0
-    start_time = time.time()
-    last_returns: list[float] = []
-
-    def handle(it, scalars, episode_stats):
-        nonlocal global_step
-        profiler.step(it)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
-            )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            print(f"global_step={step_at}, episodic_return={r}")
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        global_step += args.batch_size
-
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+    logger = IterationLogger(
+        writer, profiler, recorder, num_envs=args.num_envs,
+        batch_size=args.batch_size, num_iterations=args.num_iterations,
+        echo_episodes=True,  # CleanRL's vanilla-Atari per-episode print
+    )
 
     # K iterations per device dispatch, one packed host fetch per chunk,
     # overlapped with the next chunk's compute (LogPipeline). ppo_atari
     # has no checkpointing (like the reference), so chunks only cap at
     # the final iteration and the pipeline never flushes mid-run.
-    pipeline = LogPipeline(trainer, handle)
+    pipeline = LogPipeline(trainer, logger.handle)
     iteration = 1
     while iteration <= args.num_iterations:
         k = chunk_length(
@@ -232,9 +205,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     env.close()
     writer.close()
     return {
-        "global_step": global_step,
-        "sps": global_step / (time.time() - start_time),
-        "recent_returns": last_returns[-100:],
+        "global_step": logger.global_step,
+        "sps": logger.sps,
+        "recent_returns": logger.last_returns[-100:],
         "run_name": run_name,
     }
 
@@ -257,36 +230,20 @@ def _train_ale(args: Args, cfg: PPOConfig, run_name: str, writer, recorder,
     )
     state = trainer.init_state(params, args.seed)
 
-    global_step = 0
-    start_time = time.time()
-    last_returns: list[float] = []
+    logger = IterationLogger(
+        writer, profiler, recorder, num_envs=args.num_envs,
+        batch_size=args.batch_size, num_iterations=args.num_iterations,
+        echo_episodes=True,
+    )
     for iteration in range(1, args.num_iterations + 1):
         state, scalars, episodes, extras = trainer.run_iteration(state, iteration)
-        profiler.step(iteration)
-        if recorder is not None and extras:
-            recorder.add_rollout(extras["env0_frames"], extras["env0_dones"])
-        for r, length, t in episodes:
-            step_at = global_step + (t + 1) * args.num_envs
-            print(f"global_step={step_at}, episodic_return={r}")
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", length, step_at)
-            last_returns.append(r)
-        global_step += args.batch_size
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {iteration}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+        logger.log_host_iteration(iteration, scalars, episodes, extras)
 
     env.close()
     return {
-        "global_step": global_step,
-        "sps": global_step / (time.time() - start_time),
-        "recent_returns": last_returns[-100:],
+        "global_step": logger.global_step,
+        "sps": logger.sps,
+        "recent_returns": logger.last_returns[-100:],
         "run_name": run_name,
     }
 

@@ -23,6 +23,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from clip_ppo_tpu.cli._logging import IterationLogger
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.io import (
     ProfilerWindow,
@@ -199,45 +200,15 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         os.makedirs(args.model_path, exist_ok=True)
         checkpoint_path = os.path.join(args.model_path, run_name)
 
-    global_step = 0
-    start_time = time.time()
-    last_returns = []
-    b_returns = None
-
-    def handle(it, scalars, episode_stats):
-        nonlocal global_step, b_returns
-        profiler.step(it)
-        if recorder is not None:
-            recorder.add_rollout(
-                np.asarray(episode_stats["env0_frames"]),
-                np.asarray(episode_stats["env0_dones"]),
-            )
-        done_mask = np.asarray(episode_stats["done_mask"])
-        ep_ret = np.asarray(episode_stats["episode_return"])
-        ep_len = np.asarray(episode_stats["episode_length"])
-        for t, env_idx in zip(*np.nonzero(done_mask)):
-            step_at = global_step + (int(t) + 1) * args.num_envs
-            r = float(ep_ret[t, env_idx])
-            writer.add_scalar("charts/episodic_return", r, step_at)
-            writer.add_scalar("charts/episodic_length", int(ep_len[t, env_idx]), step_at)
-            last_returns.append(r)
-        b_returns = episode_stats.get("b_returns", b_returns)
-        global_step += args.batch_size
-
-        for tag in (
-            "value_loss", "policy_loss", "entropy", "old_approx_kl",
-            "approx_kl", "clipfrac", "explained_variance",
-        ):
-            writer.add_scalar(f"losses/{tag}", float(scalars[tag]), global_step)
-        writer.add_scalar("charts/learning_rate", float(scalars["learning_rate"]), global_step)
-        sps = int(global_step / (time.time() - start_time))
-        print(f"iteration {it}/{args.num_iterations} SPS: {sps}")
-        writer.add_scalar("charts/SPS", sps, global_step)
+    logger = IterationLogger(
+        writer, profiler, recorder, num_envs=args.num_envs,
+        batch_size=args.batch_size, num_iterations=args.num_iterations,
+    )
 
     # K iterations per device dispatch (one host round trip per chunk,
     # chunk ends aligned to checkpoint boundaries) with the packed-log
     # fetch of each chunk overlapped with the next chunk's device compute.
-    pipeline = LogPipeline(trainer, handle)
+    pipeline = LogPipeline(trainer, logger.handle)
     iteration = 1
     while iteration <= args.num_iterations:
         k = chunk_length(
@@ -256,14 +227,16 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             pipeline.flush()
             save_checkpoint(
                 checkpoint_path, state.params, state.opt_state,
-                iteration - 1, global_step, args, b_returns=b_returns,
+                iteration - 1, logger.global_step, args,
+                b_returns=logger.b_returns,
             )
     pipeline.flush()
 
     if args.save_model:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
-            args.num_iterations, global_step, args, b_returns=b_returns,
+            args.num_iterations, logger.global_step, args,
+            b_returns=logger.b_returns,
             final=True,
         )
 
@@ -273,9 +246,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     env.close()
     writer.close()
     return {
-        "global_step": global_step,
-        "sps": global_step / (time.time() - start_time),
-        "recent_returns": last_returns[-100:],
+        "global_step": logger.global_step,
+        "sps": logger.sps,
+        "recent_returns": logger.last_returns[-100:],
         "run_name": run_name,
     }
 

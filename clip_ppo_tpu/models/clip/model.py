@@ -87,10 +87,11 @@ def _use_fused_qkv(impl: str, mask, batch: int) -> bool:
     at real batch sizes: the XLA path spends ~4.5 ms/layer (ViT-B/32, batch 1024, v5e)
     relaying q/k/v into padded [B,S,H,64] HBM buffers; the kernel
     head-splits inside VMEM. Tiny batches (< 64 — e.g. the per-step
-    FROZEN_CLIP encode inside the rollout scan) keep the einsum path:
-    no win there, and the Mosaic compile is expensive. Forward-only —
-    all in-repo consumers are frozen towers or no-grad embedding
-    precomputes; pass impl="xla" to differentiate through."""
+    FROZEN_CLIP encode inside the rollout scan) keep the einsum path
+    under "auto": no win there, and the Mosaic compile is expensive.
+    Differentiable via the einsum-recompute custom VJP
+    (pallas_attention.py); impl="xla" forces the pure einsum path,
+    impl="fused" forces the kernel at any batch size."""
     if mask is not None and not isinstance(mask, str):
         return False  # arbitrary mask arrays keep the einsum path
     if impl == "fused":
@@ -191,7 +192,7 @@ def _use_fused_block(impl: str, mask, batch: int) -> bool:
     if mask is not None and not isinstance(mask, str):
         return False
     if impl == "block":
-        return batch >= 64 or jax.default_backend() != "tpu"
+        return True  # explicit opt-in is honored at any batch size
     return (
         impl == "auto" and mask is None and batch >= 64
         and jax.default_backend() == "tpu"

@@ -46,6 +46,48 @@ from jax.experimental.pallas import tpu as pltpu
 _PAIR_VARIANT = os.environ.get("CLIP_PPO_ATTN_PAIR_VARIANT", "rows")
 
 
+def pair_masks(t: int, d_head: int, causal: bool):
+    """Lane masks selecting each head's half of a 128-lane pair block,
+    plus the row-stacked causal mask (rows 0..T-1 = lo head, T..2T-1 =
+    hi head). Shared by the fused-qkv "rows" variant here and the
+    block-fusion resblock kernel (pallas_block._pair_attention)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
+    mlo = lane < d_head
+    mhi = lane >= d_head
+    causal_ok = None
+    if causal:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
+        cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
+        causal_ok = rr >= cc
+    return mlo, mhi, causal_ok
+
+
+def rows_pair_attention(q2, k2, v2, t, scale, mlo, mhi, causal_ok):
+    """One head pair via the row-stacked identity: with q's lanes masked
+    to one head's half, q_half · k2ᵀ == q_half · k_halfᵀ exactly (the
+    other half's contributions multiply zeroed lanes), so k and v are
+    used unmasked. The two masked q variants stack along the ROW axis →
+    one [B, 2T, 128] × [B, T, 128]ᵀ batched score matmul and one
+    [B, 2T, T] × [B, T, 128] AV matmul per pair; a lane-select merges
+    the halves. Same FLOPs as four per-head dots, ~16× fewer
+    instructions, fuller sublane occupancy."""
+    dims = (((2,), (2,)), ((0,), (0,)))
+    av_dims = (((2,), (1,)), ((0,), (0,)))
+    qs = jnp.concatenate(
+        [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
+    )                                                     # [B, 2T, 128]
+    s = jax.lax.dot_general(
+        qs * scale, k2, dims, preferred_element_type=jnp.float32
+    )                                                     # [B, 2T, T]
+    if causal_ok is not None:
+        s = jnp.where(causal_ok, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(v2.dtype)
+    o2 = jax.lax.dot_general(
+        p, v2, av_dims, preferred_element_type=jnp.float32
+    )                                                     # [B, 2T, 128]
+    return jnp.where(mlo, o2[:, :t, :], o2[:, t:, :])
+
+
 def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
                       group: int, scale: float, causal: bool = False):
     """Per grid step: one block of batches, all heads, entirely in VMEM.
@@ -136,34 +178,16 @@ def _fused_qkv_kernel(qkv_ref, o_ref, *, heads: int, t: int, d_head: int,
         # lane-select merges the halves. Per block this is 2 batched MXU
         # ops per pair (12 for ViT-B/32) instead of 4 dots × B_blk × 6
         # pairs = 192 small ones — same FLOPs, ~16× fewer instructions,
-        # fuller sublane occupancy (2T=100 rows vs 50).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
-        mlo = lane < d_head
-        mhi = lane >= d_head
-        if causal:
-            rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
-            cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
-            causal_ok = rr >= cc
-        dims = (((2,), (2,)), ((0,), (0,)))
-        av_dims = (((2,), (1,)), ((0,), (0,)))
+        # fuller sublane occupancy (2T=100 rows vs 50). Core math in
+        # rows_pair_attention (shared with pallas_block).
+        mlo, mhi, causal_ok = pair_masks(t, d_head, causal)
         for hp in range(heads // 2):
             sl = slice(hp * 128, (hp + 1) * 128)
             q2 = qkv_ref[:, :, sl]                            # [B, T, 128]
             k2 = qkv_ref[:, :, d + hp * 128: d + (hp + 1) * 128]
             v2 = qkv_ref[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
-            qs = jnp.concatenate(
-                [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
-            )                                                 # [B, 2T, 128]
-            s = jax.lax.dot_general(
-                qs * scale, k2, dims, preferred_element_type=jnp.float32
-            )                                                 # [B, 2T, T]
-            if causal:
-                s = jnp.where(causal_ok, s, -jnp.inf)
-            p = jax.nn.softmax(s, axis=-1).astype(v2.dtype)
-            o2 = jax.lax.dot_general(
-                p, v2, av_dims, preferred_element_type=jnp.float32
-            )                                                 # [B, 2T, 128]
-            o = jnp.where(mlo, o2[:, :t, :], o2[:, t:, :])
+            o = rows_pair_attention(q2, k2, v2, t, scale, mlo, mhi,
+                                    causal_ok)
             o_ref[:, :, sl] = o.astype(o_ref.dtype)
         return
 

@@ -41,6 +41,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clip_ppo_tpu.models.clip.pallas_attention import (
+    pair_masks,
+    rows_pair_attention,
+)
+
 
 def _ln(x3: jax.Array, g: jax.Array, b: jax.Array, eps: float) -> jax.Array:
     """LayerNorm with fp32 statistics; ``g``/``b`` are [1, D] rows."""
@@ -65,37 +70,18 @@ def _pair_attention(qkv_ref, heads: int, t: int, d_head: int,
     supports — the same wheres on lane-slices of the reshaped matmul
     value fail AOT compile with "Not implemented: Sublane broadcast".
     """
-    bb = qkv_ref.shape[0]
     d = heads * d_head
     if d_head * 2 == 128 and heads % 2 == 0:
-        lane = jax.lax.broadcasted_iota(jnp.int32, (t, 2 * d_head), 1)
-        mlo = lane < d_head
-        mhi = lane >= d_head
-        if causal:
-            rr = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 0) % t
-            cc = jax.lax.broadcasted_iota(jnp.int32, (2 * t, t), 1)
-            causal_ok = rr >= cc
-        dims = (((2,), (2,)), ((0,), (0,)))
-        av_dims = (((2,), (1,)), ((0,), (0,)))
+        # Row-stacked head-pair path: core math shared with the
+        # fused-qkv kernel (pallas_attention.rows_pair_attention).
+        mlo, mhi, causal_ok = pair_masks(t, d_head, causal)
         outs = []
         for hp in range(heads // 2):
-            sl = slice(hp * 128, (hp + 1) * 128)
-            q2 = qkv_ref[:, :, sl]
+            q2 = qkv_ref[:, :, hp * 128:(hp + 1) * 128]
             k2 = qkv_ref[:, :, d + hp * 128: d + (hp + 1) * 128]
             v2 = qkv_ref[:, :, 2 * d + hp * 128: 2 * d + (hp + 1) * 128]
-            qs = jnp.concatenate(
-                [jnp.where(mlo, q2, 0), jnp.where(mhi, q2, 0)], axis=1
-            )
-            s = jax.lax.dot_general(
-                qs * scale, k2, dims, preferred_element_type=jnp.float32
-            )
-            if causal:
-                s = jnp.where(causal_ok, s, -jnp.inf)
-            p = jax.nn.softmax(s, axis=-1).astype(v2.dtype)
-            o2 = jax.lax.dot_general(
-                p, v2, av_dims, preferred_element_type=jnp.float32
-            )
-            outs.append(jnp.where(mlo, o2[:, :t, :], o2[:, t:, :]))
+            outs.append(rows_pair_attention(q2, k2, v2, t, scale, mlo,
+                                            mhi, causal_ok))
         return jnp.concatenate(outs, axis=-1).astype(qkv_ref.dtype)
     # generic per-head fallback (d_head != 64)
     if causal:

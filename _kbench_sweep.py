@@ -75,7 +75,7 @@ def enc_text_loop(cfg, params, toks, impl, n):
 
 
 B = int(os.environ.get("KB_BATCH", "1024"))
-N = 8
+N = int(os.environ.get("KB_N", "8"))
 
 if "b32" in sections:
     cfg = CLIP_CONFIGS["ViT-B/32"]

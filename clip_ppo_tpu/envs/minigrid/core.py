@@ -65,7 +65,7 @@ NUM_ACTIONS = 7
 class EnvParams:
     """Static environment configuration (hashable; safe as a jit static arg)."""
 
-    kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom" | "crossing"
+    kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom" | "crossing" | "unlock"
     width: int
     height: int
     max_steps: int
@@ -78,6 +78,10 @@ class EnvParams:
     # {Simple,Lava}CrossingS{n}N{k} family
     num_crossings: int = 0
     obstacle: int = 0  # WALL (SimpleCrossing) or LAVA (LavaCrossing)
+    # Success condition: "goal" (step onto GOAL) or "open_door" (Unlock —
+    # terminating reward when a toggle leaves the door open,
+    # upstream minigrid/envs/unlock.py step()).
+    success: str = "goal"
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -104,8 +108,8 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``gym.make``, `ppo_minigrid.py:106-119`; these cover its experiment
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
-    ``SimpleCrossingSsNn`` and ``LavaCrossingSsNn``. Unknown ids raise
-    with the supported list.
+    ``SimpleCrossingSsNn``, ``LavaCrossingSsNn`` and ``Unlock``. Unknown
+    ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-MultiRoom-N(\d+)(?:-S(\d+))?(-v\d+)?$", env_id)
     if m:
@@ -129,6 +133,13 @@ def parse_env_id(env_id: str) -> EnvParams:
             num_crossings=int(m.group(3)),
             obstacle=WALL if m.group(1) == "Simple" else LAVA,
         )
+    if re.match(r"MiniGrid-Unlock(-v\d+)?$", env_id):
+        # UnlockEnv: RoomGrid(room_size=6, rows=1, cols=2) → 11×6 grid,
+        # locked random-color door on the dividing wall, matching key and
+        # agent placed in the left room; success = toggling the door open
+        # (upstream unlock.py; max_steps = 8·room_size²).
+        return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
+                         success="open_door")
     if re.match(r"MiniGrid-FourRooms(-v\d+)?$", env_id):
         # FourRoomsEnv: 19×19, four rooms with one random gap per shared
         # wall segment, random agent + goal, max_steps=100 (the env the
@@ -148,8 +159,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             f"unsupported MiniGrid env id: {env_id!r}. Supported families: "
             "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
-            "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn "
-            "(each with an optional -vK suffix)."
+            "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
+            "MiniGrid-Unlock (each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
     random_start = m.group(2) is not None
@@ -615,6 +626,46 @@ def _reset_crossing(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
+    """UnlockEnv: RoomGrid(room_size=6, 1×2 rooms) → an 11×6 grid split by
+    a wall at x=5 with one LOCKED random-color door (y ∈ [1, 4]); a key of
+    the door's color and the agent (random dir) placed on random free
+    cells of the left room. No goal square — success is toggling the door
+    open (upstream minigrid/envs/unlock.py _gen_grid/step)."""
+    w, h = params.width, params.height
+    k_door, k_color, k_key, k_agent, k_dir, k_next = jax.random.split(key, 6)
+    grid = _base_grid(params, goal=False)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    divider = xs == 5
+    grid = jnp.where(
+        divider[..., None], jnp.asarray([WALL, GREY, 0], dtype=jnp.int8), grid
+    )
+
+    door_y = jax.random.randint(k_door, (), 1, h - 1)
+    color = jax.random.randint(k_color, (), 0, 6).astype(jnp.int8)
+    door_cell = jnp.stack(
+        [jnp.int8(DOOR), color, jnp.int8(LOCKED)]
+    )
+    grid = grid.at[5, door_y].set(door_cell)
+
+    left_room = (xs >= 1) & (xs <= 4) & (ys >= 1) & (ys <= 4)
+    key_pos = _sample_free_cell(k_key, (grid[..., 0] == EMPTY) & left_room)
+    key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
+    grid = grid.at[key_pos[0], key_pos[1]].set(key_cell)
+
+    agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & left_room)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -629,6 +680,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_multiroom(params, key)
     if params.kind == "crossing":
         return _reset_crossing(params, key)
+    if params.kind == "unlock":
+        return _reset_unlock(params, key)
     raise ValueError(params.kind)
 
 
@@ -707,6 +760,18 @@ def step(
         ),
     )
     grid = state.grid.at[fx, fy].set(new_fwd_cell)
+
+    if params.success == "open_door":
+        # Unlock semantics: a toggle that leaves the door open terminates
+        # with the time-scaled reward; there is no goal square
+        # (upstream minigrid/envs/unlock.py step()).
+        opened = does_toggle & (new_door_state == OPEN)
+        terminated = opened | hit_lava
+        reward = jnp.where(
+            opened,
+            1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+            0.0,
+        )
 
     carrying = jnp.where(
         does_pickup, fwd_cell, jnp.where(does_drop, empty_cell * 0, state.carrying)

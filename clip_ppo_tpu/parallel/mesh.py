@@ -48,12 +48,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put(x, sh: NamedSharding):
+    """``jax.device_put`` that also works on multi-process meshes.
+
+    When ``sh`` spans devices of other processes (DCN training), the host
+    value — which every process holds identically, e.g. a state built
+    from the same seed — is laid out shard-by-shard via
+    ``make_array_from_callback``; each process materializes only its
+    addressable blocks."""
+    if not sh.is_fully_addressable:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sh)
+
+
 def shard_env_state(mesh: Mesh, tree):
     """Place a batched pytree (leading axis = num_envs) on the dp axis."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put(x, sh), tree)
 
 
 def replicate_tree(mesh: Mesh, tree):
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put(x, sh), tree)

@@ -189,6 +189,7 @@ class Trainer:
             return state
         from clip_ppo_tpu.parallel.mesh import (
             batch_sharding,
+            put,
             replicate_tree,
             shard_env_state,
         )
@@ -198,8 +199,8 @@ class Trainer:
             params=replicate_tree(self.mesh, state.params),
             opt_state=replicate_tree(self.mesh, state.opt_state),
             vec_state=shard_env_state(self.mesh, state.vec_state),
-            obs=jax.device_put(state.obs, batch_sharding(self.mesh)),
-            next_done=jax.device_put(state.next_done, batch_sharding(self.mesh)),
+            obs=put(state.obs, batch_sharding(self.mesh)),
+            next_done=put(state.next_done, batch_sharding(self.mesh)),
             key=replicate_tree(self.mesh, state.key),
         )
 
@@ -491,12 +492,31 @@ class Trainer:
             self._jit_chunks[k] = fn
         return fn(state, jnp.int32(start_iteration), self.frozen_params)
 
+    @staticmethod
+    def _device_get(tree):
+        """``jax.device_get`` that also works on multi-process meshes:
+        arrays spanning other processes' devices (DCN training) are
+        all-gathered so every process sees the full logs — each process
+        then decides what to write (CLIs log on process 0)."""
+        leaves = [
+            x for x in jax.tree_util.tree_leaves(tree)
+            if isinstance(x, jax.Array)
+        ]
+        if any(not x.is_fully_addressable for x in leaves):
+            from jax.experimental import multihost_utils
+
+            # tiled=True: global arrays gather into their true global
+            # shape (the only mode supported for non-fully-addressable
+            # inputs); replicated leaves come back unchanged.
+            tree = multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
+
     def fetch_logs_chunk(self, packed) -> list:
         """One packed device→host fetch for a whole chunk; returns a list of
         per-iteration ``(scalars_np, stats_np)`` pairs matching
         :meth:`fetch_logs` output. ``b_returns`` is present only on the
         LAST entry (checkpoint saves happen at chunk boundaries)."""
-        sc, ep, video, dones0, last_returns = jax.device_get(packed)
+        sc, ep, video, dones0, last_returns = self._device_get(packed)
         out = []
         for i in range(sc.shape[0]):
             scalars_np = {name: sc[i, j] for j, name in enumerate(SCALAR_KEYS)}
@@ -551,7 +571,7 @@ class Trainer:
     def fetch_logs(self, scalars: dict, episode_stats: dict):
         """One packed device→host fetch; returns numpy-backed dicts with
         the same keys as the inputs."""
-        sc, ep, video, dones0 = jax.device_get(
+        sc, ep, video, dones0 = self._device_get(
             self._jit_pack_logs(scalars, episode_stats)
         )
         scalars_np = {k: sc[i] for i, k in enumerate(SCALAR_KEYS)}

@@ -1,16 +1,23 @@
-"""Worker process for the two-process DCN smoke test.
+"""Worker process for the two-process DCN smoke tests.
 
-Usage: python tests/helpers/dcn_worker.py <process_id> <coordinator_port>
+Usage: python tests/helpers/dcn_worker.py <process_id> <coordinator_port> [mode]
 
 Exercises the real multi-host bring-up path (SURVEY §2c comm backend):
 `parallel.distributed.initialize_distributed` (jax.distributed.initialize
-over localhost), `global_mesh()` spanning both processes' devices, and one
-data-parallel PPO update through the framework's own
-`ppo.update_epochs(axis_name="dp")` under shard_map — gradients pmean'd
-across the process boundary. Prints a digest of the updated parameters;
-the parent asserts both processes print the same digest (replicated
-updates) and that it differs from the initial parameters (training
-happened).
+over localhost) and `global_mesh()` spanning both processes' devices.
+
+mode "update" (default): one data-parallel PPO update through the
+framework's own `ppo.update_epochs(axis_name="dp")` under shard_map —
+gradients pmean'd across the process boundary.
+
+mode "trainer": the full user-facing path — `Trainer(mesh=global_mesh())`
+with device-resident envs, `init_state` → `run_iterations` (a 3-iteration
+chunk: rollout scan + GAE + minibatch updates, all SPMD across the two
+processes) → `fetch_logs_chunk` (cross-process log allgather).
+
+Both modes print a digest of the updated parameters; the parent asserts
+both processes print the same digest (replicated updates) and that it
+differs from the initial parameters (training happened).
 """
 
 import hashlib
@@ -28,9 +35,53 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
+def _digest(tree) -> str:
+    import numpy as np
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        local = np.asarray(
+            leaf.addressable_shards[0].data if isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable else leaf
+        )
+        assert np.all(np.isfinite(local))
+        h.update(local.tobytes())
+    return h.hexdigest()
+
+
+def main_trainer(mesh) -> None:
+    """Full user-facing Trainer across the two-process mesh."""
+    import numpy as np
+    import jax.numpy as jnp  # noqa: F401  (keeps parity with main())
+
+    from clip_ppo_tpu.envs import JaxVectorEnv
+    from clip_ppo_tpu.models import init_agent_params
+    from clip_ppo_tpu.train import PPOConfig, Trainer
+
+    env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", 4)
+    cfg = PPOConfig(num_envs=4, num_steps=8, num_minibatches=2,
+                    update_epochs=1)
+    trainer = Trainer(cfg, env, num_iterations=4, mesh=mesh)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions)
+    init_dg = _digest(jax.tree_util.tree_map(np.asarray, params))
+    state = trainer.init_state(params, seed=0)
+
+    state, packed = trainer.run_iterations(state, 1, 3)
+    logs = trainer.fetch_logs_chunk(packed)
+    assert len(logs) == 3
+    pg = float(logs[-1][0]["policy_loss"])
+    assert np.isfinite(pg)
+    assert logs[-1][1]["b_returns"].shape == (cfg.batch_size,)
+
+    print(f"DIGEST {_digest(state.params)} INIT {init_dg} PG {pg:.6f}",
+          flush=True)
+    jax.distributed.shutdown()
+
+
 def main() -> None:
     proc_id = int(sys.argv[1])
     port = sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "update"
 
     from clip_ppo_tpu.parallel.distributed import (
         global_mesh,
@@ -41,6 +92,10 @@ def main() -> None:
     assert jax.process_count() == 2, jax.process_count()
     mesh = global_mesh()
     assert mesh.shape["dp"] == 2 and mesh.shape["tp"] == 1, dict(mesh.shape)
+
+    if mode == "trainer":
+        main_trainer(mesh)
+        return
 
     import numpy as np
     import jax.numpy as jnp

@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dcn_update():
+def _run_workers(mode: str):
     port = _free_port()
     env = dict(os.environ)
     # each worker gets exactly one CPU device → a 2-device global mesh
@@ -35,7 +35,7 @@ def test_two_process_dcn_update():
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(port)],
+            [sys.executable, WORKER, str(i), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=REPO, env=env, text=True,
         )
@@ -44,7 +44,7 @@ def test_two_process_dcn_update():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -63,3 +63,14 @@ def test_two_process_dcn_update():
     assert i0 == i1, "initial params differ (seeding bug)"
     assert d0 != i0, "update was a no-op"
     assert pg0 == pg1
+
+
+def test_two_process_dcn_update():
+    _run_workers("update")
+
+
+def test_two_process_dcn_trainer():
+    """The full user-facing Trainer trains across the two-process mesh:
+    init_state → a 3-iteration run_iterations chunk (rollout + GAE +
+    updates, SPMD) → fetch_logs_chunk's cross-process allgather."""
+    _run_workers("trainer")

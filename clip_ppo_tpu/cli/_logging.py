@@ -41,6 +41,7 @@ class IterationLogger:
         echo_episodes: bool = False,
         log_clip_loss: bool = False,
         verbose_fn: Optional[Callable[[int, dict], None]] = None,
+        quiet: bool = False,
     ) -> None:
         self.writer = writer
         self.profiler = profiler
@@ -51,6 +52,7 @@ class IterationLogger:
         self.echo_episodes = echo_episodes
         self.log_clip_loss = log_clip_loss
         self.verbose_fn = verbose_fn
+        self.quiet = quiet  # non-main distributed processes stay silent
 
         self.global_step = 0  # settable on checkpoint resume
         self.start_time = time.time()
@@ -62,7 +64,7 @@ class IterationLogger:
         return self.global_step / (time.time() - self.start_time)
 
     def _episode(self, ret: float, length: int, step_at: int) -> None:
-        if self.echo_episodes:
+        if self.echo_episodes and not self.quiet:
             print(f"global_step={step_at}, episodic_return={ret}")
         self.writer.add_scalar("charts/episodic_return", ret, step_at)
         self.writer.add_scalar("charts/episodic_length", length, step_at)
@@ -88,7 +90,8 @@ class IterationLogger:
             self.global_step,
         )
         sps = int(self.sps)
-        print(f"iteration {it}/{self.num_iterations} SPS: {sps}")
+        if not self.quiet:
+            print(f"iteration {it}/{self.num_iterations} SPS: {sps}")
         self.writer.add_scalar("charts/SPS", sps, self.global_step)
 
     def handle(self, it: int, scalars: dict, episode_stats: dict) -> None:

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from clip_ppo_tpu.cli._distributed import NullWriter, setup_mesh
 from clip_ppo_tpu.cli._logging import IterationLogger
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.envs.minigrid import core as minigrid_core
@@ -168,6 +169,11 @@ class Args:
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
     batch are sharded across a dp mesh, parameters replicated"""
+    distributed: bool = False
+    """multi-host data-parallel training: bring up jax.distributed
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU
+    pod auto-detection) and span the dp mesh over every host's devices;
+    only process 0 writes TB/videos/checkpoints"""
     iterations_per_dispatch: int = 8
     """training iterations fused into one device dispatch (fused paths
     only; the split text path runs per-iteration around host tokenization)"""
@@ -198,10 +204,18 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
     )
 
-    maybe_init_wandb(args, run_name)
-    writer = SummaryWriter(f"runs/{run_name}")
+    # Mesh first: jax.distributed must initialize before any computation.
+    mesh, is_main = setup_mesh(args.distributed, args.num_devices)
+    if mesh is not None and is_main:
+        print(f"Data-parallel over {mesh.shape['dp']} devices "
+              f"({args.num_envs} envs sharded)")
+
+    if is_main:
+        maybe_init_wandb(args, run_name)
+    writer = SummaryWriter(f"runs/{run_name}") if is_main else NullWriter()
     recorder = (
-        VideoRecorder(f"videos/minigrid/clip_ppo/{run_name}") if args.capture_video else None
+        VideoRecorder(f"videos/minigrid/clip_ppo/{run_name}")
+        if args.capture_video and is_main else None
     )
     profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
@@ -321,13 +335,6 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if compute_clip and cc.ablation_mode == AblationMode.RANDOM_ENCODER:
         embed_random_fn = clip_utils.make_random_embed_fn(args.batch_size)
 
-    mesh = None
-    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
-    if n_dev > 1:
-        from clip_ppo_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(num_devices=n_dev)
-        print(f"Data-parallel over {n_dev} devices ({args.num_envs} envs sharded)")
 
     trainer = Trainer(
         cfg,
@@ -391,6 +398,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 it, cc.clip_lambda, args.ent_coef, args.vf_coef, scalars))
             if compute_clip and args.verbose else None
         ),
+        quiet=not is_main,
     )
     logger.global_step = global_step  # 0 or the resumed checkpoint's
 
@@ -433,7 +441,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             pipeline.after_dispatch(iteration, packed)
 
         iteration += k
-        if (args.save_model
+        if (args.save_model and is_main
                 and ((iteration - 1) * args.batch_size) % args.save_freq == 0):
             pipeline.flush()
             save_checkpoint(
@@ -443,7 +451,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             )
     pipeline.flush()
 
-    if args.save_model:
+    if args.save_model and is_main:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
             args.num_iterations, logger.global_step, args,

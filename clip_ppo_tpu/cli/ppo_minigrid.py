@@ -23,6 +23,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from clip_ppo_tpu.cli._distributed import NullWriter, setup_mesh
 from clip_ppo_tpu.cli._logging import IterationLogger
 from clip_ppo_tpu.envs import JaxVectorEnv
 from clip_ppo_tpu.io import (
@@ -114,6 +115,11 @@ class Args:
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
     batch are sharded across a dp mesh, parameters replicated"""
+    distributed: bool = False
+    """multi-host data-parallel training: bring up jax.distributed
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU
+    pod auto-detection) and span the dp mesh over every host's devices;
+    only process 0 writes TB/videos/checkpoints"""
     iterations_per_dispatch: int = 8
     """training iterations fused into one device dispatch (amortizes the
     host round trip; logging/checkpoint semantics are unchanged)"""
@@ -134,10 +140,18 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     args.num_iterations = args.total_timesteps // args.batch_size
     run_name = run_name or f"{args.env_id}__{args.exp_name}__{args.seed}__{int(time.time())}"
 
-    maybe_init_wandb(args, run_name)
-    writer = SummaryWriter(f"runs/{run_name}")
+    # Mesh first: jax.distributed must initialize before any computation.
+    mesh, is_main = setup_mesh(args.distributed, args.num_devices)
+    if mesh is not None and is_main:
+        print(f"Data-parallel over {mesh.shape['dp']} devices "
+              f"({args.num_envs} envs sharded)")
+
+    if is_main:
+        maybe_init_wandb(args, run_name)
+    writer = SummaryWriter(f"runs/{run_name}") if is_main else NullWriter()
     recorder = (
-        VideoRecorder(f"videos/minigrid/ppo/{run_name}") if args.capture_video else None
+        VideoRecorder(f"videos/minigrid/ppo/{run_name}")
+        if args.capture_video and is_main else None
     )
     profiler = ProfilerWindow(args.profile_dir)
     writer.add_text("hyperparameters", hyperparameters_table(dataclasses.asdict(args)))
@@ -173,14 +187,6 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     else:
         print("Disturbances disabled")
 
-    mesh = None
-    n_dev = args.num_devices if args.num_devices > 0 else len(jax.devices())
-    if n_dev > 1:
-        from clip_ppo_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(num_devices=n_dev)
-        print(f"Data-parallel over {n_dev} devices ({args.num_envs} envs sharded)")
-
     trainer = Trainer(
         cfg,
         env,
@@ -203,6 +209,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     logger = IterationLogger(
         writer, profiler, recorder, num_envs=args.num_envs,
         batch_size=args.batch_size, num_iterations=args.num_iterations,
+        quiet=not is_main,
     )
 
     # K iterations per device dispatch (one host round trip per chunk,
@@ -222,7 +229,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         # The handler lags one chunk behind the device; the save condition
         # comes from the dispatched frontier and the pipeline is flushed
         # only when a save is actually due (global_step/b_returns current).
-        if (args.save_model
+        if (args.save_model and is_main
                 and ((iteration - 1) * args.batch_size) % args.save_freq == 0):
             pipeline.flush()
             save_checkpoint(
@@ -232,7 +239,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             )
     pipeline.flush()
 
-    if args.save_model:
+    if args.save_model and is_main:
         save_checkpoint(
             checkpoint_path, state.params, state.opt_state,
             args.num_iterations, logger.global_step, args,

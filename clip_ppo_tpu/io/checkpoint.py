@@ -27,7 +27,20 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def get(x):
+        # Multi-process (DCN) training: replicated params span other
+        # hosts' devices, where np.asarray raises — the local shard IS
+        # the full value.
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            local = np.asarray(x.addressable_shards[0].data)
+            assert local.shape == x.shape, (
+                f"checkpointing a non-replicated multi-process array "
+                f"(shard {local.shape} != global {x.shape})"
+            )
+            return local
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def _jsonable(value):

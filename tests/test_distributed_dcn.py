@@ -69,6 +69,64 @@ def test_two_process_dcn_update():
     _run_workers("update")
 
 
+def test_two_process_distributed_cli(tmp_path):
+    """`--distributed` end-to-end through the real ppo_minigrid CLI: two
+    processes rendezvous via the documented JAX_* env vars, train 4
+    iterations on a cross-host dp mesh, and only process 0 writes the TB
+    run and the checkpoint."""
+    import shutil
+
+    port = _free_port()
+    run_name = f"dcn_cli_{port}"
+    shutil.rmtree(f"runs/{run_name}", ignore_errors=True)
+    shutil.rmtree("/tmp/cli_dcn_ckpt", ignore_errors=True)
+    cli_worker = os.path.join(REPO, "tests", "helpers", "cli_dcn_worker.py")
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, cli_worker, run_name],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    summaries = []
+    for out in outs:
+        m = re.search(r"SUMMARY step=(\d+) n_returns=(\d+)", out)
+        assert m, f"no summary in:\n{out}"
+        summaries.append(m.groups())
+    assert summaries[0] == summaries[1]
+    assert summaries[0][0] == "128"
+
+    # Artifacts written by process 0 only.
+    run_dir = os.path.join(REPO, "runs", run_name)
+    assert os.path.isdir(run_dir) and os.listdir(run_dir)
+    ckpts = os.listdir("/tmp/cli_dcn_ckpt")
+    assert any(f.startswith(run_name) and "final" in f for f in ckpts), ckpts
+
+    # SPS progress printed by process 0, silent on process 1.
+    main_out = outs[0] if "iteration" in outs[0] else outs[1]
+    other = outs[1] if main_out is outs[0] else outs[0]
+    assert "SPS:" in main_out
+    assert "SPS:" not in other
+    shutil.rmtree(run_dir, ignore_errors=True)
+    shutil.rmtree("/tmp/cli_dcn_ckpt", ignore_errors=True)
+
+
 def test_two_process_dcn_trainer():
     """The full user-facing Trainer trains across the two-process mesh:
     init_state → a 3-iteration run_iterations chunk (rollout + GAE +

@@ -82,6 +82,10 @@ class EnvParams:
     # terminating reward when a toggle leaves the door open,
     # upstream minigrid/envs/unlock.py step()).
     success: str = "goal"
+    # Dynamic-Obstacles family
+    n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
+    #                        terminates with reward −1 (upstream quirk)
+    num_actions: int = NUM_ACTIONS  # 3 for Dynamic-Obstacles
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -108,8 +112,9 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``gym.make``, `ppo_minigrid.py:106-119`; these cover its experiment
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
-    ``SimpleCrossingSsNn``, ``LavaCrossingSsNn`` and ``Unlock``. Unknown
-    ids raise with the supported list.
+    ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock`` and
+    ``Dynamic-Obstacles[-Random]-NxN``. Unknown ids raise with the
+    supported list.
     """
     m = re.match(r"MiniGrid-MultiRoom-N(\d+)(?:-S(\d+))?(-v\d+)?$", env_id)
     if m:
@@ -132,6 +137,21 @@ def parse_env_id(env_id: str) -> EnvParams:
             "crossing", size, size, 4 * size * size, False,
             num_crossings=int(m.group(3)),
             obstacle=WALL if m.group(1) == "Simple" else LAVA,
+        )
+    m = re.match(r"MiniGrid-Dynamic-Obstacles(-Random)?-(\d+)x(\d+)(-v\d+)?$",
+                 env_id)
+    if m:
+        # DynamicObstaclesEnv(size, agent_start_pos=(1,1)|None,
+        # n_obstacles=size//2): size//2 moving balls; restricted 3-action
+        # space (left/right/forward); max_steps = 4·size²,
+        # see_through_walls=True (upstream dynamicobstacles.py; registered
+        # [Random-]{5x5,6x6,8x8,16x16}).
+        size = int(m.group(2))
+        assert size == int(m.group(3)), "only square grids are supported"
+        return EnvParams(
+            "dynobs", size, size, 4 * size * size, True,
+            random_start=m.group(1) is not None,
+            n_obstacles=size // 2, num_actions=3,
         )
     if re.match(r"MiniGrid-Unlock(-v\d+)?$", env_id):
         # UnlockEnv: RoomGrid(room_size=6, rows=1, cols=2) → 11×6 grid,
@@ -160,7 +180,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
-            "MiniGrid-Unlock (each with an optional -vK suffix)."
+            "MiniGrid-Unlock, MiniGrid-Dynamic-Obstacles[-Random]-NxN "
+            "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
     random_start = m.group(2) is not None
@@ -626,6 +647,42 @@ def _reset_crossing(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_dynobs(params: EnvParams, key: jax.Array) -> EnvState:
+    """DynamicObstaclesEnv: empty room with the goal bottom-right, agent
+    at (1,1) facing right (Random variants: uniform pos/dir), and
+    ``n_obstacles`` balls on distinct free cells (upstream
+    dynamicobstacles.py _gen_grid; sequential place_obj → uniform over
+    remaining free cells, agent cell excluded)."""
+    k_pos, k_dir, k_obs, k_next = jax.random.split(key, 4)
+    grid = _base_grid(params)
+    if params.random_start:
+        pos = _sample_free_cell(k_pos, grid[..., 0] == EMPTY)
+        agent_dir = jax.random.randint(k_dir, (), 0, 4)
+    else:
+        pos = jnp.array([1, 1], dtype=jnp.int32)
+        agent_dir = jnp.int32(0)
+
+    ball_cell = jnp.stack([jnp.int8(BALL), jnp.int8(BLUE), jnp.int8(0)])
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    for k in jax.random.split(k_obs, params.n_obstacles):
+        free = (
+            (grid[..., 0] == EMPTY)
+            & ~((xs == pos[0]) & (ys == pos[1]))
+        )
+        bp = _sample_free_cell(k, free)
+        grid = grid.at[bp[0], bp[1]].set(ball_cell)
+
+    return EnvState(
+        grid=grid,
+        agent_pos=pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     """UnlockEnv: RoomGrid(room_size=6, 1×2 rooms) → an 11×6 grid split by
     a wall at x=5 with one LOCKED random-color door (y ∈ [1, 4]); a key of
@@ -682,6 +739,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_crossing(params, key)
     if params.kind == "unlock":
         return _reset_unlock(params, key)
+    if params.kind == "dynobs":
+        return _reset_dynobs(params, key)
     raise ValueError(params.kind)
 
 
@@ -698,6 +757,50 @@ def _can_overlap(cell: jax.Array) -> jax.Array:
     )
 
 
+def _move_obstacles(params: EnvParams, state: EnvState):
+    """Dynamic-Obstacles pre-step: each ball moves to a uniformly random
+    free cell of its 3×3 neighborhood (own cell and the agent's excluded,
+    like upstream's ``place_obj(top=old-1, size=(3,3))`` rejection loop);
+    a fully blocked ball stays. Balls move sequentially, seeing earlier
+    balls' new positions (upstream dynamicobstacles.py step()). Returns
+    (grid, new_rng)."""
+    grid = state.grid
+    rng, k_all = jax.random.split(state.rng)
+    w, h = params.width, params.height
+    ball_cell = jnp.stack([jnp.int8(BALL), jnp.int8(BLUE), jnp.int8(0)])
+    empty_cell = jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8)
+    # Ball identities don't matter (identical objects): recover positions
+    # from the grid in scan order each step.
+    flat_is_ball = (grid[..., 0] == BALL).reshape(-1)
+    (ball_idx,) = jnp.nonzero(flat_is_ball, size=params.n_obstacles,
+                              fill_value=0)
+    offs = jnp.asarray(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
+    )
+    for i, k in enumerate(jax.random.split(k_all, params.n_obstacles)):
+        bx, by = ball_idx[i] // h, ball_idx[i] % h
+        cand = jnp.stack([bx, by]) + offs                      # [9, 2]
+        cx = jnp.clip(cand[:, 0], 0, w - 1)
+        cy = jnp.clip(cand[:, 1], 0, h - 1)
+        in_bounds = (cand[:, 0] == cx) & (cand[:, 1] == cy)
+        valid = (
+            in_bounds
+            & (grid[cx, cy, 0] == EMPTY)
+            & ~((cx == state.agent_pos[0]) & (cy == state.agent_pos[1]))
+        )
+        any_valid = valid.any()
+        logits = jnp.where(valid, 0.0, -jnp.inf)
+        # all-invalid logits would NaN the categorical; select a dummy
+        pick = jax.random.categorical(k, jnp.where(any_valid, logits, 0.0))
+        nx = jnp.where(any_valid, cx[pick], bx)
+        ny = jnp.where(any_valid, cy[pick], by)
+        grid = grid.at[bx, by].set(
+            jnp.where(any_valid, empty_cell, grid[bx, by])
+        )
+        grid = grid.at[nx, ny].set(ball_cell)
+    return grid, rng
+
+
 @partial(jax.jit, static_argnames=("params",))
 def step(
     params: EnvParams, state: EnvState, action: jax.Array
@@ -705,6 +808,20 @@ def step(
     """One environment transition. Returns (state, reward, terminated, truncated)."""
     action = action.astype(jnp.int32)
     step_count = state.step_count + 1
+
+    if params.kind == "dynobs":
+        # Upstream wraps out-of-range actions to 0 (the 3-action space).
+        action = jnp.where(action >= params.num_actions, 0, action)
+        # Collision check uses the PRE-move grid: forward into ANY
+        # occupied non-goal cell (walls included — upstream quirk)
+        # terminates with −1 after the normal transition.
+        pre_fwd = state.agent_pos + jnp.asarray(DIR_TO_VEC)[state.agent_dir]
+        pfx = jnp.clip(pre_fwd[0], 0, params.width - 1)
+        pfy = jnp.clip(pre_fwd[1], 0, params.height - 1)
+        pre_obj = state.grid[pfx, pfy, 0]
+        not_clear = (pre_obj != EMPTY) & (pre_obj != GOAL)
+        grid, rng = _move_obstacles(params, state)
+        state = dataclasses.replace(state, grid=grid, rng=rng)
 
     dir_vec = jnp.asarray(DIR_TO_VEC)
     agent_dir = state.agent_dir
@@ -776,6 +893,13 @@ def step(
     carrying = jnp.where(
         does_pickup, fwd_cell, jnp.where(does_drop, empty_cell * 0, state.carrying)
     )
+
+    if params.kind == "dynobs":
+        # Post-transition penalty exactly like upstream: forward into a
+        # pre-move-occupied non-goal cell → reward −1, episode over.
+        collided = (action == A_FORWARD) & not_clear
+        terminated = terminated | collided
+        reward = jnp.where(collided, -1.0, reward)
 
     truncated = step_count >= params.max_steps
 

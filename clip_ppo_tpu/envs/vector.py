@@ -69,7 +69,10 @@ class JaxVectorEnv(HostVectorEnvMixin):
             raise ValueError("obs_size must be a multiple of the 7-cell view")
         self.obs_size = obs_size
         self._upscale = obs_size // minigrid_core.VIEW_SIZE
-        self.num_actions = minigrid_core.NUM_ACTIONS
+        # Dynamic-Obstacles restricts the action space to
+        # left/right/forward (upstream dynamicobstacles.py); the others
+        # use the full 7-action set.
+        self.num_actions = self.params.num_actions
         self._jit_reset = jax.jit(self._reset_impl)
         self._jit_step = jax.jit(self._step_impl)
         self._host_state: VecState | None = None

@@ -104,10 +104,11 @@ if "text" in sections:
     toks = jax.random.randint(jax.random.PRNGKey(1), (B, 77), 0,
                               cfg.vocab_size)
     toks = toks.at[:, -1].set(cfg.vocab_size - 1)
+    NT = 2 * N
     for impl in ("auto", "block"):
         timed(f"text encode {impl}",
-              enc_text_loop(cfg, params, toks, impl, 16),
-              params, toks, n=16)
+              enc_text_loop(cfg, params, toks, impl, NT),
+              params, toks, n=NT)
 
 if "l14" in sections:
     cfg = CLIP_CONFIGS["ViT-L/14"]
@@ -115,18 +116,19 @@ if "l14" in sections:
     BL = min(B, 256)
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (BL, 224, 224, 3),
                               jnp.float32)
+    NL = max(1, N // 2)
     # block path with the chunked MLP kernel vs the XLA-MLP fallback
     timed(f"l14 encode block+chunked-mlp b{BL}",
-          enc_image_loop(cfg, params, imgs, "block", 4),
-          params, imgs, n=4)
+          enc_image_loop(cfg, params, imgs, "block", NL),
+          params, imgs, n=NL)
     os.environ["CLIP_PPO_MLP_CHUNKED"] = "0"
     timed(f"l14 encode block+xla-mlp b{BL}",
-          enc_image_loop(cfg, params, imgs, "block", 4),
-          params, imgs, n=4)
+          enc_image_loop(cfg, params, imgs, "block", NL),
+          params, imgs, n=NL)
     os.environ.pop("CLIP_PPO_MLP_CHUNKED")
     timed(f"l14 encode auto(fused-qkv attn) b{BL}",
-          enc_image_loop(cfg, params, imgs, "auto", 4),
-          params, imgs, n=4)
+          enc_image_loop(cfg, params, imgs, "auto", NL),
+          params, imgs, n=NL)
 
 if "stack" in sections:
     cfg = CLIP_CONFIGS["ViT-B/32"]

@@ -54,9 +54,14 @@ class RunnerArgs:
     """skip experiments before this 1-based index (crash recovery)"""
     filter: str = ""
     """only run experiments whose run_name contains this substring"""
+    num_devices: int = 1
+    """forwarded to every training CLI: data-parallel device count
+    (0 = all available) — the orchestrator's runs shard their envs/batch
+    over the dp mesh (no reference equivalent, single-device there)"""
 
 
-def build_command(config: ExperimentConfig) -> list[str]:
+def build_command(config: ExperimentConfig,
+                  runner: "RunnerArgs" = None) -> list[str]:
     """Translate an ExperimentConfig into a training-CLI invocation
     (image modality forced like `run_experiments.py:37`)."""
     module = (
@@ -79,14 +84,17 @@ def build_command(config: ExperimentConfig) -> list[str]:
     ]
     if config.apply_disturbances:
         cmd.append("--clip-config.apply-disturbances")
+    if runner is not None and runner.num_devices != 1:
+        cmd += ["--num-devices", str(runner.num_devices)]
     return cmd
 
 
-def run_experiment(config: ExperimentConfig) -> bool:
+def run_experiment(config: ExperimentConfig,
+                   runner: "RunnerArgs" = None) -> bool:
     print(f"\n{'=' * 60}")
     print(f"Running: {config.run_name}")
     print(f"{'=' * 60}")
-    cmd = build_command(config)
+    cmd = build_command(config, runner)
     print(f"Command: {' '.join(cmd)}")
     print(f"Starting at: {time.strftime('%Y-%m-%d %H:%M:%S')}")
     start = time.time()
@@ -165,7 +173,7 @@ def main() -> None:
 
     if args.dry_run:
         for config in experiments:
-            print(" ".join(build_command(config)))
+            print(" ".join(build_command(config, args)))
         return
 
     if not args.yes:
@@ -194,7 +202,7 @@ def main() -> None:
                 )
             )
         t0 = time.time()
-        success = run_experiment(config)
+        success = run_experiment(config, args)
         durations.append(time.time() - t0)
         results[config.run_name] = success
         if not success and not args.yes:

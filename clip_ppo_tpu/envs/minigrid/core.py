@@ -78,9 +78,10 @@ class EnvParams:
     # {Simple,Lava}CrossingS{n}N{k} family
     num_crossings: int = 0
     obstacle: int = 0  # WALL (SimpleCrossing) or LAVA (LavaCrossing)
-    # Success condition: "goal" (step onto GOAL) or "open_door" (Unlock —
-    # terminating reward when a toggle leaves the door open,
-    # upstream minigrid/envs/unlock.py step()).
+    # Success condition: "goal" (step onto GOAL), "open_door" (Unlock —
+    # terminating reward when a toggle leaves the door open, upstream
+    # minigrid/envs/unlock.py step()) or "pickup_box" (UnlockPickup —
+    # terminating reward when the box is picked up, unlockpickup.py).
     success: str = "goal"
     # Dynamic-Obstacles family
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
@@ -112,9 +113,9 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``gym.make``, `ppo_minigrid.py:106-119`; these cover its experiment
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
-    ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock`` and
-    ``Dynamic-Obstacles[-Random]-NxN``. Unknown ids raise with the
-    supported list.
+    ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
+    ``UnlockPickup`` and ``Dynamic-Obstacles[-Random]-NxN``. Unknown ids
+    raise with the supported list.
     """
     m = re.match(r"MiniGrid-MultiRoom-N(\d+)(?:-S(\d+))?(-v\d+)?$", env_id)
     if m:
@@ -160,6 +161,12 @@ def parse_env_id(env_id: str) -> EnvParams:
         # (upstream unlock.py; max_steps = 8·room_size²).
         return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
                          success="open_door")
+    if re.match(r"MiniGrid-UnlockPickup(-v\d+)?$", env_id):
+        # UnlockPickupEnv: the Unlock layout plus a random-color box in
+        # the right room; success = picking the box up (upstream
+        # unlockpickup.py; max_steps = 8·room_size²).
+        return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
+                         success="pickup_box")
     if re.match(r"MiniGrid-FourRooms(-v\d+)?$", env_id):
         # FourRoomsEnv: 19×19, four rooms with one random gap per shared
         # wall segment, random agent + goal, max_steps=100 (the env the
@@ -180,7 +187,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
-            "MiniGrid-Unlock, MiniGrid-Dynamic-Obstacles[-Random]-NxN "
+            "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
+            "MiniGrid-Dynamic-Obstacles[-Random]-NxN "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -688,7 +696,9 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     a wall at x=5 with one LOCKED random-color door (y ∈ [1, 4]); a key of
     the door's color and the agent (random dir) placed on random free
     cells of the left room. No goal square — success is toggling the door
-    open (upstream minigrid/envs/unlock.py _gen_grid/step)."""
+    open (upstream minigrid/envs/unlock.py _gen_grid/step). UnlockPickup
+    (success == "pickup_box") adds a random-color box in the right room;
+    success is picking it up (unlockpickup.py)."""
     w, h = params.width, params.height
     k_door, k_color, k_key, k_agent, k_dir, k_next = jax.random.split(key, 6)
     grid = _base_grid(params, goal=False)
@@ -708,6 +718,20 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     grid = grid.at[5, door_y].set(door_cell)
 
     left_room = (xs >= 1) & (xs <= 4) & (ys >= 1) & (ys <= 4)
+    if params.success == "pickup_box":
+        # UnlockPickup: a random-color box on a free right-room cell
+        # (upstream unlockpickup.py _gen_grid: add_object(1, 0, "box")
+        # BEFORE the door/key, but placement order only matters for RNG
+        # sequence, not the distribution).
+        k_box, k_boxcol, k_key = jax.random.split(k_key, 3)
+        right_room = (xs >= 6) & (xs <= 9) & (ys >= 1) & (ys <= 4)
+        box_pos = _sample_free_cell(
+            k_box, (grid[..., 0] == EMPTY) & right_room
+        )
+        box_color = jax.random.randint(k_boxcol, (), 0, 6).astype(jnp.int8)
+        box_cell = jnp.stack([jnp.int8(BOX), box_color, jnp.int8(0)])
+        grid = grid.at[box_pos[0], box_pos[1]].set(box_cell)
+
     key_pos = _sample_free_cell(k_key, (grid[..., 0] == EMPTY) & left_room)
     key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
     grid = grid.at[key_pos[0], key_pos[1]].set(key_cell)
@@ -886,6 +910,16 @@ def step(
         terminated = opened | hit_lava
         reward = jnp.where(
             opened,
+            1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+            0.0,
+        )
+    elif params.success == "pickup_box":
+        # UnlockPickup semantics: picking the box up terminates with the
+        # time-scaled reward (upstream unlockpickup.py step()).
+        got_box = does_pickup & (fobj == BOX)
+        terminated = got_box | hit_lava
+        reward = jnp.where(
+            got_box,
             1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
             0.0,
         )

@@ -138,6 +138,63 @@ def test_scripted_solve_from_reset():
     assert bool(term) and float(r) > 0
 
 
+PICKUP = mg.parse_env_id("MiniGrid-UnlockPickup-v0")
+
+
+def test_unlockpickup_parse():
+    assert PICKUP.kind == "unlock" and PICKUP.success == "pickup_box"
+    assert (PICKUP.width, PICKUP.height) == (11, 6)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_unlockpickup_layout(seed):
+    state = mg.reset(PICKUP, jax.random.PRNGKey(seed))
+    grid = np.asarray(state.grid)
+    boxes = np.argwhere(grid[..., 0] == mg.BOX)
+    assert len(boxes) == 1
+    bx, by = boxes[0]
+    assert 6 <= bx <= 9 and 1 <= by <= 4  # right room
+    # Unlock invariants still hold (door/key/agent in the left room)
+    assert len(np.argwhere(grid[..., 0] == mg.KEY)) == 1
+    assert len(np.nonzero(grid[5, :, 0] == mg.DOOR)[0]) == 1
+
+
+def test_unlockpickup_box_pickup_terminates():
+    state = mg.reset(PICKUP, jax.random.PRNGKey(3))
+    grid = np.asarray(state.grid).copy()
+    # normalize: put the box at (7, 2) and the agent next to it, door open
+    grid[(grid[..., 0] == mg.BOX).nonzero()] = [mg.EMPTY, 0, 0]
+    grid[7, 2] = [mg.BOX, mg.PURPLE, 0]
+    state = dataclasses.replace(
+        state,
+        grid=jnp.asarray(grid, jnp.int8),
+        agent_pos=jnp.asarray([6, 2], jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, jnp.int8),
+        step_count=jnp.int32(0),
+    )
+    s, r, term, _ = mg.step(PICKUP, state, jnp.int32(mg.A_PICKUP))
+    assert bool(term)
+    assert float(r) == pytest.approx(1.0 - 0.9 * 1 / PICKUP.max_steps)
+    assert int(np.asarray(s.carrying)[0]) == mg.BOX
+
+
+def test_unlockpickup_key_pickup_does_not_terminate():
+    state = mg.reset(PICKUP, jax.random.PRNGKey(4))
+    grid = np.asarray(state.grid)
+    kx, ky = np.argwhere(grid[..., 0] == mg.KEY)[0]
+    state = dataclasses.replace(
+        state,
+        agent_pos=jnp.asarray([kx - 1, ky], jnp.int32)
+        if kx > 1 else jnp.asarray([kx + 1, ky], jnp.int32),
+        agent_dir=jnp.int32(0 if kx > 1 else 2),
+        carrying=jnp.zeros(3, jnp.int8),
+    )
+    s, r, term, _ = mg.step(PICKUP, state, jnp.int32(mg.A_PICKUP))
+    assert not bool(term) and float(r) == 0.0
+    assert int(np.asarray(s.carrying)[0]) == mg.KEY
+
+
 def test_vector_env_random_rollout():
     env = JaxVectorEnv("MiniGrid-Unlock-v0", 4)
     vec_state, obs0 = env.reset_fn(jax.random.PRNGKey(0))

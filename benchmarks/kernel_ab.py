@@ -1,6 +1,6 @@
 """A/B the attention-kernel variants + block fusion on the real TPU.
 
-Usage: python _kbench.py {rows|packed|unrolled|block|text-qkv|text-block} [batch]
+Usage: python benchmarks/kernel_ab.py {rows|packed|unrolled|block|text-qkv|text-block} [batch]
 rows/packed/unrolled select CLIP_PPO_ATTN_PAIR_VARIANT for the fused-qkv
 kernel ("auto" encode path); "block" routes encode_image through the
 pallas_block resblock fusion instead (attention_impl="block");

@@ -6,7 +6,7 @@ CLAUDE.md). Timing is tunnel-honest: N iterations chained through a data
 dependency, one dependent scalar fetched, null-program round trip
 subtracted.
 
-Usage: python _kbench_sweep.py [section ...]
+Usage: python benchmarks/kernel_sweep.py [section ...]
 sections: b32 text l14 stack   (default: all)
 """
 

@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, ".")  # run from the repo root (CLAUDE.md)
+
 import jax
 import jax.numpy as jnp
 
@@ -53,12 +55,15 @@ def timed(label, fn, *args, n=8):
 
 
 def enc_image_loop(cfg, params, imgs, impl, n):
+    # lax.scan (not a Python unroll): the [B,224,224,3] f32 carry is
+    # reused in place, so n iterations hold ONE image buffer instead of n
+    # (an unrolled version allocated >HBM at B=1024).
     def fn(params, imgs):
-        x = imgs
-        for _ in range(n):
+        def body(x, _):
             e = encode_image(params, cfg, x, compute_dtype=jnp.bfloat16,
                              attention_impl=impl)
-            x = imgs + e.sum() * 1e-9
+            return imgs + e.sum() * 1e-9, ()
+        x, _ = jax.lax.scan(body, imgs, None, length=n)
         return x
     return fn
 
@@ -139,11 +144,11 @@ if "stack" in sections:
                            jnp.bfloat16)
 
     def stack_fn(blocks, x0):
-        x = x0
-        for _ in range(N):
+        def body(x, _):
             for blk in blocks:
                 x = resblock(blk, x, cfg.vision_heads, None, impl="block")
-            x = x0 + x.sum() * 1e-9
+            return x0 + x.sum() * 1e-9, ()
+        x, _ = jax.lax.scan(body, x0, None, length=N)
         return x
 
     timed(f"b32 12-block stack alone b{B}", stack_fn, blocks, x0, n=N)

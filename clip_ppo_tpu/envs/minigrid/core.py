@@ -65,7 +65,8 @@ NUM_ACTIONS = 7
 class EnvParams:
     """Static environment configuration (hashable; safe as a jit static arg)."""
 
-    kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom" | "crossing" | "unlock"
+    kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom"
+    #            | "crossing" | "unlock" | "dynobs" | "distshift" | "redblue"
     width: int
     height: int
     max_steps: int
@@ -80,9 +81,14 @@ class EnvParams:
     obstacle: int = 0  # WALL (SimpleCrossing) or LAVA (LavaCrossing)
     # Success condition: "goal" (step onto GOAL), "open_door" (Unlock —
     # terminating reward when a toggle leaves the door open, upstream
-    # minigrid/envs/unlock.py step()) or "pickup_box" (UnlockPickup —
-    # terminating reward when the box is picked up, unlockpickup.py).
+    # minigrid/envs/unlock.py step()), "pickup_box" (UnlockPickup —
+    # terminating reward when the box is picked up, unlockpickup.py) or
+    # "red_then_blue" (RedBlueDoors — episode ends when the blue door is
+    # open post-step; reward only if the red door was open before it,
+    # upstream redbluedoors.py step()).
     success: str = "goal"
+    # DistShift family: grid row of the 3-cell lava strip (2 or 5).
+    strip_row: int = 0
     # Dynamic-Obstacles family
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
     #                        terminates with reward −1 (upstream quirk)
@@ -114,9 +120,31 @@ def parse_env_id(env_id: str) -> EnvParams:
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
-    ``UnlockPickup`` and ``Dynamic-Obstacles[-Random]-NxN``. Unknown ids
-    raise with the supported list.
+    ``UnlockPickup``, ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
+    and ``RedBlueDoors-NxN``. Unknown ids raise with the supported list.
     """
+    m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
+    if m:
+        # DistShiftEnv(width=9, height=7, strip2_row=2|5): 3-cell lava
+        # strip at x ∈ [3, 5] in row 2 (DistShift1) or 5 (DistShift2),
+        # goal at (width-2, 1), agent (1,1) facing right; deterministic
+        # layout, max_steps = 4·width², see_through_walls=True (upstream
+        # minigrid/envs/distshift.py).
+        return EnvParams("distshift", 9, 7, 4 * 9 * 9, True,
+                         strip_row=2 if m.group(1) == "1" else 5)
+    m = re.match(r"MiniGrid-RedBlueDoors-(\d+)x(\d+)(-v\d+)?$", env_id)
+    if m:
+        # RedBlueDoorEnv(size): 2size×size grid; a size×size room in the
+        # middle (wall_rect(size//2, 0, size, size)) with a red door at a
+        # random y on its left wall and a blue door on its right wall;
+        # agent placed randomly inside the room. Success = opening the
+        # blue door while the red door is already open (upstream
+        # redbluedoors.py step()); max_steps = 20·size² (registered
+        # 6x6 and 8x8).
+        size = int(m.group(1))
+        assert size == int(m.group(2)), "only square RedBlueDoors rooms"
+        return EnvParams("redblue", 2 * size, size, 20 * size * size, False,
+                         success="red_then_blue")
     m = re.match(r"MiniGrid-MultiRoom-N(\d+)(?:-S(\d+))?(-v\d+)?$", env_id)
     if m:
         # MultiRoomEnv(minNumRooms=n, maxNumRooms=n, maxRoomSize=s or 10):
@@ -188,7 +216,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
             "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
-            "MiniGrid-Dynamic-Obstacles[-Random]-NxN "
+            "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
+            "MiniGrid-RedBlueDoors-NxN "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -747,6 +776,67 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_distshift(params: EnvParams, key: jax.Array) -> EnvState:
+    """DistShiftEnv: deterministic 9×7 layout — goal at (width-2, 1), a
+    3-cell lava strip at x ∈ [3, width-4] in ``strip_row``, agent (1, 1)
+    facing right (upstream minigrid/envs/distshift.py _gen_grid). The key
+    is consumed only by autoreset."""
+    w = params.width
+    grid = np.zeros((w, params.height, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = grid[w - 1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = grid[:, params.height - 1, :] = [WALL, GREY, 0]
+    grid[w - 2, 1, :] = [GOAL, GREEN, 0]
+    for i in range(w - 6):
+        grid[3 + i, params.strip_row, :] = [LAVA, RED, 0]
+    return EnvState(
+        grid=jnp.asarray(grid),
+        agent_pos=jnp.array([1, 1], dtype=jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=key,
+    )
+
+
+def _reset_redblue(params: EnvParams, key: jax.Array) -> EnvState:
+    """RedBlueDoorEnv: a size×size room centered in a 2size×size grid
+    (walls at x = size//2 and x = size//2 + size - 1), a CLOSED red door
+    at a random y on the left room wall, a closed blue door on the right
+    room wall, agent on a random free room cell with a random direction
+    (upstream redbluedoors.py _gen_grid: place_agent over the room
+    rect)."""
+    size = params.height
+    lx, rx = size // 2, size // 2 + size - 1
+    k_red, k_blue, k_agent, k_dir, k_next = jax.random.split(key, 5)
+    grid = _base_grid(params, goal=False)
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    room_walls = (xs == lx) | (xs == rx)
+    grid = jnp.where(
+        room_walls[..., None], jnp.asarray([WALL, GREY, 0], dtype=jnp.int8),
+        grid,
+    )
+    red_y = jax.random.randint(k_red, (), 1, size - 1)
+    blue_y = jax.random.randint(k_blue, (), 1, size - 1)
+    grid = grid.at[lx, red_y].set(
+        jnp.asarray([DOOR, RED, CLOSED], dtype=jnp.int8))
+    grid = grid.at[rx, blue_y].set(
+        jnp.asarray([DOOR, BLUE, CLOSED], dtype=jnp.int8))
+
+    room = (xs > lx) & (xs < rx) & (ys >= 1) & (ys <= size - 2)
+    agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & room)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -765,6 +855,10 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_unlock(params, key)
     if params.kind == "dynobs":
         return _reset_dynobs(params, key)
+    if params.kind == "distshift":
+        return _reset_distshift(params, key)
+    if params.kind == "redblue":
+        return _reset_redblue(params, key)
     raise ValueError(params.kind)
 
 
@@ -920,6 +1014,33 @@ def step(
         terminated = got_box | hit_lava
         reward = jnp.where(
             got_box,
+            1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+            0.0,
+        )
+    elif params.success == "red_then_blue":
+        # RedBlueDoors semantics (upstream redbluedoors.py step()): the
+        # episode ends whenever the blue door is open after the
+        # transition — with the time-scaled reward iff the red door was
+        # open BEFORE it; opening red while blue was already open also
+        # terminates with 0 (dead in practice: a blue-open state never
+        # survives a step).
+        def _open(g, color):
+            return jnp.any(
+                (g[..., 0] == DOOR) & (g[..., 1] == color)
+                & (g[..., 2] == OPEN)
+            )
+
+        red_before = _open(state.grid, RED)
+        blue_before = _open(state.grid, BLUE)
+        red_after = _open(grid, RED)
+        blue_after = _open(grid, BLUE)
+        success = blue_after & red_before
+        failure = (blue_after & ~red_before) | (
+            red_after & ~red_before & blue_before
+        )
+        terminated = success | failure
+        reward = jnp.where(
+            success,
             1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
             0.0,
         )

@@ -35,7 +35,28 @@ RESULTS = []
 def timed(label, fn, *args, n=8):
     """Chained-iteration timing: fn folds its output back into its input
     so iteration k depends on k-1; one dependent scalar is fetched and a
-    null-program round trip is subtracted. Returns per-iteration secs."""
+    null-program round trip is subtracted. Returns per-iteration secs.
+
+    A config that fails to compile (e.g. a block-batch size whose VMEM
+    working set exceeds the 16 MB scoped limit — observed for bb=32 at
+    B=1024) is recorded as OOM/compile-error and the sweep continues."""
+    try:
+        return _timed(label, fn, *args, n=n)
+    except jax.errors.JaxRuntimeError as e:
+        lines = str(e).strip().splitlines()
+        msg = next(
+            (l for l in lines if "exceed" in l.lower()
+             or "out of memory" in l.lower() or "scoped" in l.lower()),
+            lines[0] if lines else "?",
+        )
+        if "Scoped allocation" in msg:  # keep just the sizing clause
+            msg = "Scoped allocation" + msg.split("Scoped allocation", 1)[1]
+        print(f"{label}: COMPILE-FAIL ({msg[:300]})", flush=True)
+        RESULTS.append((label, float("nan")))
+        return None
+
+
+def _timed(label, fn, *args, n=8):
     jfn = jax.jit(fn)
     out = jfn(*args)
     _ = float(out.ravel()[0])          # sync after compile/warmup
@@ -57,14 +78,20 @@ def timed(label, fn, *args, n=8):
 def enc_image_loop(cfg, params, imgs, impl, n):
     # lax.scan (not a Python unroll): the [B,224,224,3] f32 carry is
     # reused in place, so n iterations hold ONE image buffer instead of n
-    # (an unrolled version allocated >HBM at B=1024).
+    # (an unrolled version allocated >HBM at B=1024). The carry must be a
+    # SCALAR, not the image tensor: a [B,224,224,3] f32 carry forces an
+    # XLA relayout copy whose T(8,128) tiling pads the size-3 minor dim
+    # to 128 — a 26.3 GB allocation at B=1024 (observed OOM on the 16 GB
+    # v5e). Chaining via `imgs * (1 + c·1e-12)` keeps the data dependency
+    # with one image buffer and a fused broadcast multiply.
     def fn(params, imgs):
-        def body(x, _):
-            e = encode_image(params, cfg, x, compute_dtype=jnp.bfloat16,
+        def body(c, _):
+            e = encode_image(params, cfg, imgs * (1.0 + c * 1e-12),
+                             compute_dtype=jnp.bfloat16,
                              attention_impl=impl)
-            return imgs + e.sum() * 1e-9, ()
-        x, _ = jax.lax.scan(body, imgs, None, length=n)
-        return x
+            return e.ravel()[0].astype(jnp.float32), ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
     return fn
 
 
@@ -122,12 +149,12 @@ if "l14" in sections:
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (BL, 224, 224, 3),
                               jnp.float32)
     NL = max(1, N // 2)
-    # block path with the chunked MLP kernel vs the XLA-MLP fallback
-    timed(f"l14 encode block+chunked-mlp b{BL}",
+    # block path: XLA-MLP default vs the opt-in chunked MLP kernel
+    timed(f"l14 encode block+xla-mlp b{BL}",
           enc_image_loop(cfg, params, imgs, "block", NL),
           params, imgs, n=NL)
-    os.environ["CLIP_PPO_MLP_CHUNKED"] = "0"
-    timed(f"l14 encode block+xla-mlp b{BL}",
+    os.environ["CLIP_PPO_MLP_CHUNKED"] = "1"
+    timed(f"l14 encode block+chunked-mlp b{BL}",
           enc_image_loop(cfg, params, imgs, "block", NL),
           params, imgs, n=NL)
     os.environ.pop("CLIP_PPO_MLP_CHUNKED")

@@ -182,19 +182,19 @@ def _use_fused_block(impl: str, mask, batch: int) -> bool:
     as two Pallas passes, so the [B,T,3D] qkv and [B,T,4D] MLP hidden
     intermediates (and the LN outputs) never round-trip HBM.
 
-    TPU default for unmasked (vision) attention at batch ≥ 64: measured
-    65.4 ms vs the fused-qkv kernel's 77.2 ms for the batch-1024 ViT-B/32
-    encode on v5e, same tunnel phase (docs/PERFORMANCE.md). Causal text
-    keeps the fused-qkv path under "auto" until the block variant is
-    measured there; ``attention_impl="block"`` forces it for both.
-    Differentiable (einsum-recompute custom VJPs, pinned against XLA
-    grads in tests/test_pallas_block.py)."""
+    TPU default for BOTH unmasked (vision) and causal (text) attention at
+    batch ≥ 64: measured 65.4 ms vs the fused-qkv kernel's 77.2 ms for
+    the batch-1024 ViT-B/32 encode, and 3.30 ms vs 4.28 ms for the
+    batch-1024 causal text encode, on v5e same tunnel phase
+    (docs/PERFORMANCE.md). ``attention_impl="block"`` forces it at any
+    batch size. Differentiable (einsum-recompute custom VJPs, pinned
+    against XLA grads in tests/test_pallas_block.py)."""
     if mask is not None and not isinstance(mask, str):
         return False
     if impl == "block":
         return True  # explicit opt-in is honored at any batch size
     return (
-        impl == "auto" and mask is None and batch >= 64
+        impl == "auto" and batch >= 64
         and jax.default_backend() == "tpu"
     )
 

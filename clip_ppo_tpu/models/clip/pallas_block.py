@@ -320,9 +320,13 @@ def _mlp_chunked_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
     bsz, t, d = x.shape
     d4 = wfc.shape[1]
     itemsize = x.dtype.itemsize
-    # smallest power-of-2 chunk count whose weight slices fit the budget
+    # Smallest power-of-2 chunk count whose weight slices fit the budget.
+    # 2 MB (not 8): Mosaic double-buffers BOTH chunk-varying weight
+    # slices, and the kernel's fp32 hidden/accumulator temporaries share
+    # the same 16 MB scoped-VMEM stack — an 8 MB slice budget compiled to
+    # a 20.6 MB scoped allocation for ViT-L/14 (observed OOM on v5e).
     n_chunks = 2
-    while (2 * d * (d4 // n_chunks) * itemsize > (8 << 20)
+    while (2 * d * (d4 // n_chunks) * itemsize > (2 << 20)
            or d4 % n_chunks) and n_chunks < d4:
         n_chunks *= 2
     ck = d4 // n_chunks
@@ -333,7 +337,7 @@ def _mlp_chunked_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
         else:
             # x + LN scratch + fp32 acc + out + fp32 hidden chunk per block
             per_bb = t * d * (4 * itemsize + 8)
-            block_batches = max(1, min(4, (6 << 20) // per_bb))
+            block_batches = max(1, min(4, (4 << 20) // per_bb))
     bb = block_batches
     pad = (-bsz) % bb
     if pad:
@@ -484,11 +488,14 @@ def fused_mlp_block(
     d4 = mlp["fc_w"].shape[0]
     if 2 * d * d4 * jnp.dtype(dt).itemsize > (12 << 20):
         # ViT-L/14-class widths: both weight mats can't stay VMEM-resident
-        # (1024×4096×2 ≈ 16.8 MB bf16 > VMEM) — the d4-chunked grid
-        # variant splits the hidden dim so only [D, D4/n]+[D4/n, D]
-        # slices are resident per step. CLIP_PPO_MLP_CHUNKED=0 forces the
-        # XLA formulation instead (hardware A/B escape hatch).
-        if os.environ.get("CLIP_PPO_MLP_CHUNKED", "1") == "0":
+        # (1024×4096×2 ≈ 16.8 MB bf16 > VMEM). The XLA formulation is the
+        # DEFAULT here: it tiles the matmuls with proper weight reuse,
+        # while the d4-chunked grid variant at its forced block_batches=1
+        # re-streams the full 33.6 MB of MLP weights per batch element —
+        # HBM-bound by construction (and its first cut exceeded the 16 MB
+        # scoped-VMEM stack on v5e). CLIP_PPO_MLP_CHUNKED=1 opts into the
+        # chunked kernel for hardware A/Bs.
+        if os.environ.get("CLIP_PPO_MLP_CHUNKED", "0") != "1":
             return _mlp_block_ref(
                 x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),
                 mlp["proj_w"].astype(dt).T, _row(mlp["proj_b"], dt),

@@ -147,18 +147,20 @@ def _large_width_case(seed=8):
     return blk, x, ref
 
 
-def test_mlp_chunked_large_width():
-    """Widths over the VMEM weight budget route to the d4-chunked grid
-    kernel (only [D, D4/n] weight slices resident per step) and must
-    match the XLA formulation; batch 3 with the default block size also
-    exercises zero-padding."""
+def test_mlp_chunked_large_width(monkeypatch):
+    """CLIP_PPO_MLP_CHUNKED=1 opts over-budget widths into the d4-chunked
+    grid kernel (only [D, D4/n] weight slices resident per step), which
+    must match the XLA formulation; batch 3 with the default block size
+    also exercises zero-padding."""
+    monkeypatch.setenv("CLIP_PPO_MLP_CHUNKED", "1")
     blk, x, ref = _large_width_case()
     out = fused_mlp_block(x, blk["ln_2"], blk["mlp"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mlp_chunked_grad_matches_xla():
+def test_mlp_chunked_grad_matches_xla(monkeypatch):
+    monkeypatch.setenv("CLIP_PPO_MLP_CHUNKED", "1")
     blk, x, ref = _large_width_case(seed=10)
 
     def ref_loss(x):
@@ -178,11 +180,11 @@ def test_mlp_chunked_grad_matches_xla():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mlp_chunked_escape_hatch(monkeypatch):
-    """CLIP_PPO_MLP_CHUNKED=0 forces the XLA formulation for over-budget
-    widths (hardware A/B escape hatch) — exact, no pallas_call even with
-    interpret=False."""
-    monkeypatch.setenv("CLIP_PPO_MLP_CHUNKED", "0")
+def test_mlp_large_width_defaults_to_xla():
+    """Over-budget widths default to the XLA formulation (the chunked
+    kernel at its forced block_batches=1 re-streams the full MLP weights
+    per batch element — HBM-bound, and its VMEM stack overflowed on v5e)
+    — exact, no pallas_call even with interpret=False."""
     blk, x, ref = _large_width_case(seed=12)
     out = fused_mlp_block(x, blk["ln_2"], blk["mlp"], interpret=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

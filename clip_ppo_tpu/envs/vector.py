@@ -74,7 +74,7 @@ class JaxVectorEnv(HostVectorEnvMixin):
         # use the full 7-action set.
         self.num_actions = self.params.num_actions
         self._jit_reset = jax.jit(self._reset_impl)
-        self._jit_step = jax.jit(self._step_impl)
+        self._jit_step = jax.jit(self._step_impl, static_argnames=("small_obs",))
         self._host_state: VecState | None = None
 
     # -- gymnasium-compatible space descriptions ----------------------------
@@ -101,10 +101,25 @@ class JaxVectorEnv(HostVectorEnvMixin):
         at integer zoom, `ppo_minigrid.py:114`)."""
         from clip_ppo_tpu.ops.resize import upscale_nearest
 
-        view = jax.vmap(minigrid_core.observe, in_axes=(None, 0))(
+        return upscale_nearest(self.observe_view_fn(state), self._upscale)
+
+    def observe_view_fn(self, state: VecState) -> jax.Array:
+        """[N, 7, 7, 3] uint8 raw symbolic views — the pre-upscale form of
+        :meth:`observe_fn` (observations are EXACT ×upscale tile
+        replications of this; the Trainer's view fast path consumes it
+        directly and reproduces the 84×84 CNN numerics)."""
+        return jax.vmap(minigrid_core.observe, in_axes=(None, 0))(
             self.params, state.env
         )
-        return upscale_nearest(view, self._upscale)
+
+    @property
+    def supports_view_obs(self) -> bool:
+        """True when obs are exact integer nearest-upscales of the view."""
+        return self.obs_size % minigrid_core.VIEW_SIZE == 0
+
+    @property
+    def view_upscale(self) -> int:
+        return self._upscale
 
     def _reset_impl(self, key: jax.Array) -> tuple[VecState, jax.Array]:
         keys = jax.random.split(key, self.num_envs)
@@ -119,7 +134,8 @@ class JaxVectorEnv(HostVectorEnvMixin):
     def reset_fn(self, key: jax.Array) -> tuple[VecState, jax.Array]:
         return self._jit_reset(key)
 
-    def _step_impl(self, state: VecState, actions: jax.Array):
+    def _step_impl(self, state: VecState, actions: jax.Array,
+                   small_obs: bool = False):
         env, reward, terminated, truncated = jax.vmap(
             minigrid_core.step, in_axes=(None, 0, 0)
         )(self.params, state.env, actions)
@@ -147,7 +163,8 @@ class JaxVectorEnv(HostVectorEnvMixin):
             "episode_return": jnp.where(done, ep_return, 0.0),
             "episode_length": jnp.where(done, ep_length, 0),
         }
-        obs = self.observe_fn(new_state)
+        obs = (self.observe_view_fn(new_state) if small_obs
+               else self.observe_fn(new_state))
         return new_state, obs, reward, terminated, truncated, info
 
     def step_fn(self, state: VecState, actions: jax.Array):

@@ -77,10 +77,35 @@ def cnn_features(params: dict, obs: jax.Array, frozen=None, dtype=None) -> jax.A
     return cnn.nature_cnn(params["trunk"], x, dtype)
 
 
+def make_view_features(upscale: int) -> FeatureFn:
+    """FeatureFn over raw [B, 7, 7, 3] uint8 MiniGrid views: numerically
+    ≡ `cnn_features` on the ×``upscale`` nearest-upscaled 84×84 obs (see
+    nature_cnn.nature_cnn_view), with the same trunk parameters — the
+    Trainer's view fast path swaps this in when observations are exact
+    tile upscales (no disturbances, no image-CLIP consumer)."""
+
+    def view_features(params: dict, view: jax.Array, frozen=None,
+                      dtype=None) -> jax.Array:
+        del frozen
+        x = view.astype(jnp.float32) / 255.0
+        return cnn.nature_cnn_view(params["trunk"], x, upscale, dtype)
+
+    return view_features
+
+
 def heads(params: dict, hidden: jax.Array) -> tuple[jax.Array, jax.Array]:
-    logits = cnn.dense(params["actor"], hidden)
-    value = cnn.dense(params["critic"], hidden)[..., 0]
-    return logits, value
+    """Actor logits + critic value as ONE [hidden, A+1] matmul.
+
+    The weights stay separate pytree leaves (reference init scales differ,
+    `ppo_minigrid.py:122-125`); the concat is loop-invariant so XLA hoists
+    it out of the rollout scan — at the latency-bound 8-env bench config
+    the second tiny matmul dispatch per step was pure overhead. Each
+    output column's dot accumulates independently, so logits/value match
+    the two-matmul formulation."""
+    w = jnp.concatenate([params["actor"]["w"], params["critic"]["w"]], axis=1)
+    b = jnp.concatenate([params["actor"]["b"], params["critic"]["b"]])
+    out = hidden @ w + b
+    return out[..., :-1], out[..., -1]
 
 
 def logprob_entropy(logits: jax.Array, action: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -104,6 +129,29 @@ def get_action_and_value(
     action = jax.random.categorical(key, logits)
     logp, entropy = logprob_entropy(logits, action)
     return action, logp, entropy, value
+
+
+def get_action_and_value_gumbel(
+    params: dict,
+    obs: jax.Array,
+    gumbel: jax.Array,
+    features_fn: FeatureFn = cnn_features,
+    frozen=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Like :func:`get_action_and_value` but with the sampling noise
+    supplied as a precomputed Gumbel draw ([..., num_actions]).
+
+    ``argmax(logits + gumbel)`` is exactly the Gumbel-max sampling
+    `jax.random.categorical` performs; drawing the whole rollout's noise
+    as ONE [T, N, A] batch outside the step scan removes the per-step
+    RNG kernels from the latency-bound rollout loop. Returns
+    (action, logprob, value) — entropy is never consumed during rollouts.
+    """
+    hidden = _features(features_fn, params, obs, frozen)
+    logits, value = heads(params, hidden)
+    action = jnp.argmax(logits + gumbel, axis=-1)
+    logp, _ = logprob_entropy(logits, action)
+    return action, logp, value
 
 
 def evaluate_actions(

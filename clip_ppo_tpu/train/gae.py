@@ -31,15 +31,22 @@ def compute_gae(
     next_values = jnp.concatenate([values[1:], next_value[None]], axis=0)
     deltas = rewards + gamma * next_values * next_nonterminal - values
 
-    def backward(lastgaelam, xs):
-        delta, nonterm = xs
-        adv = delta + gamma * gae_lambda * nonterm * lastgaelam
-        return adv, adv
+    # The recurrence A_t = δ_t + (γλ·nonterm_t)·A_{t+1} is a first-order
+    # linear recurrence: solve it with `associative_scan` (log₂T levels
+    # of [T, N]-wide combines) instead of T sequential [N]-wide steps —
+    # at the 8-env latency-bound bench config the sequential scan was
+    # ~128 tiny kernel launches. Composition of f(x) = a·x + b maps onto
+    # pairs: (f₂∘f₁) = (a₁a₂, a₂b₁ + b₂); association differs from the
+    # sequential loop only at fp32 epsilon (pinned to the reference loop
+    # at 1e-5 in tests/test_ppo.py::TestGAE).
+    a = jnp.flip(gamma * gae_lambda * next_nonterminal, 0)
+    b = jnp.flip(deltas, 0)
 
-    _, advantages = jax.lax.scan(
-        backward,
-        jnp.zeros_like(next_value, dtype=jnp.float32),
-        (deltas, next_nonterminal),
-        reverse=True,
-    )
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, x = jax.lax.associative_scan(combine, (a, b))
+    advantages = jnp.flip(x, 0)
     return advantages, advantages + values

@@ -59,42 +59,86 @@ def collect_rollout(
     features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
     capture_video: bool = False,
     frozen=None,
+    collect_desc: bool = True,
+    small_obs: bool = False,
 ):
     """Scan ``num_steps`` env steps. Returns (vec_state, obs, next_done,
-    key, RolloutBatch)."""
+    key, RolloutBatch).
 
-    def one_step(carry, _):
+    ``small_obs``: the view fast path — ``obs`` (carry AND storage) are
+    the raw [N, 7, 7, 3] MiniGrid views instead of their ×12 upscale;
+    ``features_fn`` must be the matching view-consuming trunk
+    (`agent.make_view_features`). Requires ``disturbance is None`` (a
+    disturbed 84×84 image is no longer a tile replication).
+
+    The categorical sampling noise for ALL steps is drawn as one
+    [T, N, A] Gumbel batch before the scan (Gumbel-max is exactly what
+    `jax.random.categorical` computes), so the per-step loop carries no
+    RNG kernels unless disturbances need per-step keys. ``collect_desc``
+    skips the per-step description snapshot for runs that never embed
+    text (it is dead weight in the latency-bound vanilla-PPO rollout).
+    """
+    assert not (small_obs and disturbance is not None), (
+        "the view fast path cannot apply image-space disturbances"
+    )
+    key, k_gumbel = jax.random.split(key)
+    gumbels = jax.random.gumbel(
+        k_gumbel, (num_steps, obs.shape[0], env.num_actions), jnp.float32
+    )
+
+    def one_step(carry, gumbel_t):
         vec_state, obs, next_done, key = carry
-        key, k_act, k_dist = jax.random.split(key, 3)
-
         if disturbance is not None:
+            key, k_dist = jax.random.split(key)
             x = obs.astype(jnp.float32) / 255.0
             x = disturb_auto(x, k_dist, disturbance, disturbance_semantics)
             obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-        action, logprob, _, value = agent_mod.get_action_and_value(
-            params, obs, k_act, features_fn, frozen
+        action, logprob, value = agent_mod.get_action_and_value_gumbel(
+            params, obs, gumbel_t, features_fn, frozen
         )
+        step_kwargs = {"small_obs": True} if small_obs else {}
         new_vec_state, new_obs, reward, term, trunc, info = env._step_impl(
-            vec_state, action
+            vec_state, action, **step_kwargs
         )
-        out = RolloutBatch(
-            obs=obs,
-            actions=action.astype(jnp.int32),
-            logprobs=logprob,
-            rewards=reward.astype(jnp.float32),
-            dones=next_done.astype(jnp.float32),
-            values=value,
-            done_mask=info["done_mask"],
-            episode_return=info["episode_return"],
-            episode_length=info["episode_length"],
-            desc=env.rollout_desc(vec_state),
-            video=env.render_env0(vec_state) if capture_video else None,
+        # The eight per-step [N] records ride ONE [N, 8] stacked output
+        # (all exactly f32-representable) — one dynamic-update-slice per
+        # step into the [T, N, 8] store instead of eight; unpacked into
+        # RolloutBatch fields after the scan.
+        packed = jnp.stack(
+            [
+                action.astype(jnp.float32),
+                logprob,
+                reward.astype(jnp.float32),
+                next_done.astype(jnp.float32),
+                value,
+                info["done_mask"].astype(jnp.float32),
+                info["episode_return"].astype(jnp.float32),
+                info["episode_length"].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        aux = (
+            env.rollout_desc(vec_state) if collect_desc else {},
+            env.render_env0(vec_state) if capture_video else None,
         )
         new_done = (term | trunc).astype(jnp.float32)
-        return (new_vec_state, new_obs, new_done, key), out
+        return (new_vec_state, new_obs, new_done, key), (obs, packed, aux)
 
-    (vec_state, obs, next_done, key), batch = jax.lax.scan(
-        one_step, (vec_state, obs, next_done, key), None, length=num_steps
+    (vec_state, obs, next_done, key), (obs_t, packed, (desc, video)) = (
+        jax.lax.scan(one_step, (vec_state, obs, next_done, key), gumbels)
+    )
+    batch = RolloutBatch(
+        obs=obs_t,
+        actions=packed[..., 0].astype(jnp.int32),
+        logprobs=packed[..., 1],
+        rewards=packed[..., 2],
+        dones=packed[..., 3],
+        values=packed[..., 4],
+        done_mask=packed[..., 5].astype(bool),
+        episode_return=packed[..., 6],
+        episode_length=packed[..., 7].astype(jnp.int32),
+        desc=desc,
+        video=video,
     )
     return vec_state, obs, next_done, key, batch

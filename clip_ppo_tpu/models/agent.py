@@ -87,8 +87,12 @@ def make_view_features(upscale: int) -> FeatureFn:
     def view_features(params: dict, view: jax.Array, frozen=None,
                       dtype=None) -> jax.Array:
         del frozen
-        x = view.astype(jnp.float32) / 255.0
-        return cnn.nature_cnn_view(params["trunk"], x, upscale, dtype)
+        # Raw integer codes go straight into the per-step contraction
+        # (exact in bf16); the /255 is folded into the hoisted weight
+        # pre-sum — see nature_cnn_view's precision note.
+        x = view.astype(jnp.float32)
+        return cnn.nature_cnn_view(params["trunk"], x, upscale, dtype,
+                                   v_scale=1.0 / 255.0)
 
     return view_features
 

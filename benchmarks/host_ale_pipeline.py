@@ -45,6 +45,25 @@ from clip_ppo_tpu.models import init_agent_params
 from clip_ppo_tpu.train import HostTrainer, PPOConfig
 
 NUM_ENVS = 8
+ENV_DELAY_S = 0.0  # per-group per-step host cost (set via --env-delay-ms)
+
+
+class _DelayedEnv:
+    """Wrap a vector env with a fixed per-step host cost, emulating the
+    real ALE's C++ emulation time (~1-2 ms/env/step at frameskip 4 —
+    the bundled FakeALE steps in ~10 µs, so overlap has nothing to hide
+    on a zero-cost env; see docs/PERFORMANCE.md host-path analysis)."""
+
+    def __init__(self, env, delay_s: float):
+        self._env = env
+        self._delay_s = delay_s
+
+    def step(self, action):
+        time.sleep(self._delay_s)
+        return self._env.step(action)
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
 
 
 def make_groups(n_groups: int, num_envs: int = NUM_ENVS):
@@ -52,7 +71,11 @@ def make_groups(n_groups: int, num_envs: int = NUM_ENVS):
         num_envs // n_groups + (1 if g < num_envs % n_groups else 0)
         for g in range(n_groups)
     ]
-    return [ALEVectorEnv(fake_ale.FAKE_ENV_ID, n) for n in sizes]
+    envs = [ALEVectorEnv(fake_ale.FAKE_ENV_ID, n) for n in sizes]
+    if ENV_DELAY_S > 0.0:
+        envs = [_DelayedEnv(e, ENV_DELAY_S * n / num_envs)
+                for e, n in zip(envs, sizes)]
+    return envs
 
 
 def bench_reference_boundary(params, cfg, iters: int) -> float:
@@ -106,7 +129,12 @@ def main():
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--groups", type=int, default=2)
+    ap.add_argument("--env-delay-ms", type=float, default=0.0,
+                    help="total host env cost per 8-env step, emulating "
+                         "the real ALE (FakeALE itself is ~free)")
     args = ap.parse_args()
+    global ENV_DELAY_S
+    ENV_DELAY_S = args.env_delay_ms / 1000.0
 
     fake_ale.register()
     cfg = PPOConfig(num_envs=NUM_ENVS, num_steps=args.steps,

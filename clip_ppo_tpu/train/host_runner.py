@@ -283,12 +283,17 @@ class HostTrainer:
         were written in-graph by the policy steps; only actions, rewards
         and dones are uploaded from the host).
 
-        Schedule per step: dispatch every group's policy (async), then
-        fetch each group's action and step its envs — with ``overlap``
-        (default) the host steps group g while groups g+1… are still in
-        flight on the device/link. ``overlap=False`` interleaves
-        fetch+step right after each dispatch; rollout contents are
-        bit-identical either way (per-(t, g) folded PRNG keys).
+        Schedule: with ``overlap`` (default) the groups run as a
+        round-robin software pipeline — group g's step-(t+1) policy is
+        dispatched the moment its envs finish step t, so each group's
+        host env time hides under the other groups' in-flight
+        device/link work, and the wall clock per step approaches
+        max(host env time, device+link time) instead of their sum.
+        ``overlap=False`` dispatches, fetches and steps each group
+        serially. Dispatch order — hence the donated-buffer chain and
+        the rollout contents — is the (t, g) lexicographic order in both
+        schedules (per-(t, g) folded PRNG keys), so rollouts are
+        bit-identical either way.
         """
         cfg = self.cfg
         T, N = cfg.num_steps, cfg.num_envs
@@ -333,25 +338,36 @@ class HostTrainer:
                          t)
                     )
 
-        for t in range(T):
-            done_buf[t] = next_done
-            pending = []
-            for g in range(G):
-                kg = jax.random.fold_in(k_roll, t * G + g)
-                bufs, action = self._jit_policies[g](
-                    bufs, state.params, jnp.asarray(obs_g[g]), jnp.int32(t),
-                    kg, self.frozen_params,
-                )
-                if self.overlap:
-                    try:  # start the D2H copy while later groups compute
-                        action.copy_to_host_async()
-                    except Exception:
-                        pass
-                    pending.append(action)
-                else:
-                    step_group(g, t, np.asarray(action))
-            for g, action in enumerate(pending):
-                step_group(g, t, np.asarray(action))
+        def dispatch(g: int, t: int):
+            nonlocal bufs
+            kg = jax.random.fold_in(k_roll, t * G + g)
+            bufs, action = self._jit_policies[g](
+                bufs, state.params, jnp.asarray(obs_g[g]), jnp.int32(t),
+                kg, self.frozen_params,
+            )
+            try:  # start the D2H copy while the host keeps working
+                action.copy_to_host_async()
+            except Exception:
+                pass
+            return action
+
+        if self.overlap:
+            pending = [dispatch(g, 0) for g in range(G)]
+            for t in range(T):
+                for g in range(G):
+                    off, n = self.group_offsets[g], self.group_sizes[g]
+                    # groups touch disjoint next_done slices, so the
+                    # per-group snapshot equals the serial whole-row one
+                    done_buf[t, off:off + n] = next_done[off:off + n]
+                    action = np.asarray(pending[g])
+                    step_group(g, t, action)
+                    if t + 1 < T:
+                        pending[g] = dispatch(g, t + 1)
+        else:
+            for t in range(T):
+                done_buf[t] = next_done
+                for g in range(G):
+                    step_group(g, t, np.asarray(dispatch(g, t)))
 
         obs = np.concatenate(obs_g)
         batch = {

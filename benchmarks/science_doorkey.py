@@ -34,6 +34,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, ".")  # run from the repo root (CLAUDE.md)
+
 ENV_ID = "MiniGrid-DoorKey-6x6-v0"
 TIMESTEPS = 1_500_000
 SEEDS = (0, 42)

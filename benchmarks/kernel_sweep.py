@@ -96,13 +96,24 @@ def enc_image_loop(cfg, params, imgs, impl, n):
 
 
 def enc_text_loop(cfg, params, toks, impl, n):
+    # Chain iterations by batch-rolling the token matrix one row per
+    # step: same total work, but the encoder input genuinely differs
+    # every iteration. The previous Python unroll re-encoded CONSTANT
+    # inputs — XLA CSE'd the n identical encodes into one, reporting
+    # per-iteration times ~n× too fast (the "3.30 ms" text encode in
+    # the r3 sweep log; a [1024,77] 12-layer encode is ≥30 ms at the
+    # chip's FLOP peak). The carry folds a truncated-to-zero function
+    # of the output back into the roll offset so the chain is a real
+    # data dependency.
     def fn(params, toks):
-        e = jnp.zeros((toks.shape[0], cfg.embed_dim), jnp.float32)
-        for _ in range(n):
-            e = e * 1e-9 + encode_text(params, cfg, toks,
-                                       compute_dtype=jnp.bfloat16,
-                                       attention_impl=impl)
-        return e
+        def body(c, _):
+            t = jnp.roll(toks, c, axis=0)
+            e = encode_text(params, cfg, t, compute_dtype=jnp.bfloat16,
+                            attention_impl=impl)
+            dep = (jnp.abs(e.ravel()[0]) * 1e-12).astype(jnp.int32)
+            return c + 1 + dep, ()
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+        return c
     return fn
 
 

@@ -26,12 +26,17 @@ if variant.startswith("text-"):
 
     @jax.jit
     def encN(params, toks):
-        e = jnp.zeros((B, cfg.embed_dim), jnp.float32)
-        for _ in range(N):
-            e = e * 1e-9 + encode_text(params, cfg, toks,
-                                       compute_dtype=jnp.bfloat16,
-                                       attention_impl=impl)
-        return e
+        # batch-roll the tokens by a data-dependent offset each
+        # iteration: encoding loop-INVARIANT inputs lets XLA CSE the N
+        # encodes into one and reads ~N x too fast (see the r3 fix in
+        # benchmarks/kernel_sweep.py).
+        def body(c, _):
+            e = encode_text(params, cfg, jnp.roll(toks, c, axis=0),
+                            compute_dtype=jnp.bfloat16,
+                            attention_impl=impl)
+            return c + 1 + (jnp.abs(e[0, 0]) * 1e-12).astype(jnp.int32), ()
+        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=N)
+        return jnp.zeros((B, cfg.embed_dim), jnp.float32) + c
 
     @jax.jit
     def null(toks):

@@ -89,21 +89,27 @@ def test_chunk_length_save_alignment():
 
 def test_dp8_trains_and_stays_replicated():
     """dp=8 end-to-end training on the CPU mesh: the policy learns
-    Empty-5x5 (VERDICT r1 'learns at dp=8'), and after 28 iterations the
-    parameters are still bit-identical on every device."""
+    Empty-5x5 (VERDICT r1 'learns at dp=8'), and after 42 iterations the
+    parameters are still bit-identical on every device.
+
+    42 iterations (5,376 steps), judged on the final 14: at 28 the late
+    mean sat within noise of the 0.5 bar (observed 0.459 after the r3
+    view-path numerics shift moved the trajectory)."""
     cfg = PPOConfig(
         num_envs=8, num_steps=16, num_minibatches=4, update_epochs=4,
         learning_rate=1e-3,
     )
     env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", cfg.num_envs)
     mesh = make_mesh(num_devices=8)
-    trainer = Trainer(cfg, env, num_iterations=28, mesh=mesh)
+    trainer = Trainer(cfg, env, num_iterations=42, mesh=mesh)
     params = init_agent_params(jax.random.PRNGKey(0), env.num_actions, in_channels=3)
     state = trainer.init_state(params, seed=0)
 
     early, late = [], []
-    for start, sink in ((1, early), (15, late)):
+    for start, sink in ((1, early), (15, None), (29, late)):
         state, packed = trainer.run_iterations(state, start, 14)
+        if sink is None:
+            continue
         for _, stats in trainer.fetch_logs_chunk(packed):
             r = stats["episode_return"][stats["done_mask"]]
             sink.extend(np.asarray(r).tolist())

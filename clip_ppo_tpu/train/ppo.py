@@ -21,7 +21,6 @@ import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
 import optax
 

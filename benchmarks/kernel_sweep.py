@@ -148,7 +148,10 @@ if "text" in sections:
                               cfg.vocab_size)
     toks = toks.at[:, -1].set(cfg.vocab_size - 1)
     NT = 2 * N
-    for impl in ("auto", "block"):
+    # "block" vs the r2 fused-qkv kernel explicitly — after the r3
+    # default flip "auto" IS the block path at batch >= 64, so an
+    # auto-vs-block A/B times the same kernel twice.
+    for impl in ("block", "fused"):
         timed(f"text encode {impl}",
               enc_text_loop(cfg, params, toks, impl, NT),
               params, toks, n=NT)

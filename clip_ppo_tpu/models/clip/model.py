@@ -184,7 +184,7 @@ def _use_fused_block(impl: str, mask, batch: int) -> bool:
 
     TPU default for BOTH unmasked (vision) and causal (text) attention at
     batch ≥ 64: measured 65.4 ms vs the fused-qkv kernel's 77.2 ms for
-    the batch-1024 ViT-B/32 encode, and 1.30× over fused-qkv for the
+    the batch-1024 ViT-B/32 encode, and 46.7 vs 52.7 ms (1.13×) for the
     batch-1024 causal text encode, on v5e same tunnel phase
     (docs/PERFORMANCE.md). ``attention_impl="block"`` forces it at any
     batch size. Differentiable (einsum-recompute custom VJPs, pinned

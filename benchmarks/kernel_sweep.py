@@ -172,8 +172,10 @@ if "l14" in sections:
           enc_image_loop(cfg, params, imgs, "block", NL),
           params, imgs, n=NL)
     os.environ.pop("CLIP_PPO_MLP_CHUNKED")
-    timed(f"l14 encode auto(fused-qkv attn) b{BL}",
-          enc_image_loop(cfg, params, imgs, "auto", NL),
+    # the r2 fused-qkv attention kernel explicitly — "auto" IS the block
+    # path at batch >= 64, so an auto entry would time block twice
+    timed(f"l14 encode fused-qkv b{BL}",
+          enc_image_loop(cfg, params, imgs, "fused", NL),
           params, imgs, n=NL)
 
 if "stack" in sections:

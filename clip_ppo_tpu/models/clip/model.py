@@ -177,24 +177,32 @@ def attention(
     return out @ p["out_proj_w"].astype(x.dtype).T + p["out_proj_b"].astype(x.dtype)
 
 
-def _use_fused_block(impl: str, mask, batch: int) -> bool:
+def _use_fused_block(impl: str, mask, batch: int, width: int) -> bool:
     """Block-fusion kernels (pallas_block.py): the whole pre-LN resblock
     as two Pallas passes, so the [B,T,3D] qkv and [B,T,4D] MLP hidden
     intermediates (and the LN outputs) never round-trip HBM.
 
     TPU default for BOTH unmasked (vision) and causal (text) attention at
-    batch ≥ 64: measured 65.4 ms vs the fused-qkv kernel's 77.2 ms for
-    the batch-1024 ViT-B/32 encode, and 46.7 vs 52.7 ms (1.13×) for the
+    batch ≥ 64 when the MLP weights fit the VMEM budget (ViT-B widths):
+    measured 65.4 ms vs the fused-qkv kernel's 77.2 ms for the
+    batch-1024 ViT-B/32 encode, and 46.7 vs 52.7 ms (1.13×) for the
     batch-1024 causal text encode, on v5e same tunnel phase
     (docs/PERFORMANCE.md). ``attention_impl="block"`` forces it at any
-    batch size. Differentiable (einsum-recompute custom VJPs, pinned
-    against XLA grads in tests/test_pallas_block.py)."""
+    batch size/width. Differentiable (einsum-recompute custom VJPs,
+    pinned against XLA grads in tests/test_pallas_block.py)."""
     if mask is not None and not isinstance(mask, str):
         return False
     if impl == "block":
         return True  # explicit opt-in is honored at any batch size
+    # "auto" takes the block path only where its MLP pass is actually the
+    # fused kernel. At ViT-L/14-class widths fused_mlp_block falls back
+    # to the XLA formulation (weights exceed the VMEM budget,
+    # pallas_block.py), so "block" there is just a slower attention pass:
+    # same-process v5e A/B at batch 256 measured block+xla-mlp 323.8 ms
+    # vs fused-qkv 300.3 ms — so auto routes those widths to fused-qkv.
+    mlp_fits_vmem = 2 * width * 4 * width * 2 <= (12 << 20)  # bf16 bytes
     return (
-        impl == "auto" and batch >= 64
+        impl == "auto" and batch >= 64 and mlp_fits_vmem
         and jax.default_backend() == "tpu"
     )
 
@@ -204,7 +212,7 @@ def resblock(
     impl: str = "auto",
 ) -> jax.Array:
     """Pre-LN transformer block with QuickGELU MLP (width → 4·width)."""
-    if _use_fused_block(impl, mask, x.shape[0]):
+    if _use_fused_block(impl, mask, x.shape[0], x.shape[-1]):
         from clip_ppo_tpu.models.clip.pallas_block import (
             fused_attn_block,
             fused_mlp_block,

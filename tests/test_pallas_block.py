@@ -189,3 +189,26 @@ def test_mlp_large_width_defaults_to_xla():
     out = fused_mlp_block(x, blk["ln_2"], blk["mlp"], interpret=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_auto_routing_width_gated(monkeypatch):
+    """"auto" takes the block path only where the MLP pass actually fuses
+    (weights fit the VMEM budget). At ViT-L/14 widths the MLP falls back
+    to XLA, making block just a slower attention pass (same-process v5e
+    A/B: 324 vs 300 ms at batch 256) — so auto must route those widths to
+    the fused-qkv kernel instead."""
+    from clip_ppo_tpu.models.clip import model as m
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # ViT-B widths (768 vision / 512 text): block at batch >= 64.
+    assert m._use_fused_block("auto", None, 1024, 768)
+    assert m._use_fused_block("auto", "causal", 1024, 512)
+    assert not m._use_fused_block("auto", None, 8, 768)  # small batch
+    # ViT-L/14 width (1024): auto declines block; fused-qkv handles it.
+    assert not m._use_fused_block("auto", None, 256, 1024)
+    assert m._use_fused_qkv("auto", None, 256)
+    # Explicit opt-in is honored at any width/batch.
+    assert m._use_fused_block("block", None, 256, 1024)
+    # Dense mask arrays (non-sentinel) never take the kernel paths.
+    mask = jnp.zeros((4, 4))
+    assert not m._use_fused_block("auto", mask, 1024, 768)

@@ -120,7 +120,8 @@ def parse_env_id(env_id: str) -> EnvParams:
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
-    ``UnlockPickup``, ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
+    ``UnlockPickup``, ``KeyCorridorSsRr``,
+    ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
     and ``RedBlueDoors-NxN``. Unknown ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
@@ -182,6 +183,22 @@ def parse_env_id(env_id: str) -> EnvParams:
             random_start=m.group(1) is not None,
             n_obstacles=size // 2, num_actions=3,
         )
+    m = re.match(r"MiniGrid-KeyCorridorS(\d+)R(\d+)(-v\d+)?$", env_id)
+    if m:
+        # KeyCorridorEnv(room_size=s, num_rows=r): RoomGrid(3 columns ×
+        # r rows of s×s rooms) → ((s-1)·3+1) × ((s-1)·r+1) grid; the
+        # middle column is opened into a corridor, a LOCKED random-color
+        # door hides a ball in a random right-column room, the matching
+        # key sits in a random left-column room, the agent starts in the
+        # middle, and connect_all() adds doors until every room is
+        # reachable. Success = picking the ball up
+        # (upstream minigrid/envs/keycorridor.py; max_steps = 30·s²;
+        # registered S3R{1,2,3}, S{4,5,6}R3).
+        s, r = int(m.group(1)), int(m.group(2))
+        return EnvParams(
+            "keycorridor", (s - 1) * 3 + 1, (s - 1) * r + 1, 30 * s * s,
+            False, min_rooms=r, max_room_size=s, success="pickup_ball",
+        )
     if re.match(r"MiniGrid-Unlock(-v\d+)?$", env_id):
         # UnlockEnv: RoomGrid(room_size=6, rows=1, cols=2) → 11×6 grid,
         # locked random-color door on the dividing wall, matching key and
@@ -215,7 +232,7 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
-            "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
+            "MiniGrid-Unlock, MiniGrid-UnlockPickup, MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
             "MiniGrid-RedBlueDoors-NxN "
             "(each with an optional -vK suffix)."
@@ -776,6 +793,152 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _keycorridor_reachable(open_wall: jax.Array, rows: int) -> jax.Array:
+    """All-rooms-reachable check on the 3×rows room graph.
+
+    ``open_wall[i, j, k]`` marks a passable connection (a removed wall or
+    any door, locked included — upstream ``connect_all``'s ``find_reach``
+    traverses doors regardless of lock state) on wall ``k`` of room
+    ``(i, j)``; dirs follow DIR_TO_VEC (0=+i, 1=+j, 2=−i, 3=−j).
+    Propagates from room (0, 0) for 3·rows steps (the graph diameter
+    bound) and returns a scalar bool."""
+    reach = jnp.zeros((3, rows), bool).at[0, 0].set(True)
+
+    def body(_, reach):
+        c0 = reach & open_wall[..., 0]
+        c1 = reach & open_wall[..., 1]
+        c2 = reach & open_wall[..., 2]
+        c3 = reach & open_wall[..., 3]
+        z_col = jnp.zeros((1, rows), bool)
+        z_row = jnp.zeros((3, 1), bool)
+        reach = (
+            reach
+            | jnp.concatenate([z_col, c0[:-1]], 0)   # from (i,j) to (i+1,j)
+            | jnp.concatenate([z_row, c1[:, :-1]], 1)  # to (i, j+1)
+            | jnp.concatenate([c2[1:], z_col], 0)    # to (i-1, j)
+            | jnp.concatenate([c3[:, 1:], z_row], 1)  # to (i, j-1)
+        )
+        return reach
+
+    reach = jax.lax.fori_loop(0, 3 * rows, body, reach)
+    return jnp.all(reach)
+
+
+def _reset_keycorridor(params: EnvParams, key: jax.Array) -> EnvState:
+    """KeyCorridorEnv: RoomGrid(room_size=S, 3 columns × R rows). The
+    middle column's horizontal separators are removed (a corridor), a
+    LOCKED random-color door on the left wall of a random right-column
+    room hides a random-color ball, the matching key lies in a random
+    left-column room, the agent starts in the middle room (row R//2,
+    random cell/dir), and doors are added at random walls until every
+    room is reachable from room (0, 0) — upstream
+    minigrid/envs/keycorridor.py _gen_grid + roomgrid.py connect_all
+    (the iterative sampler is reproduced as a bounded while_loop; the
+    locked room never receives extra doors, exactly like upstream's
+    ``room.locked`` skip)."""
+    S, R = params.max_room_size, params.min_rooms
+    w, h = params.width, params.height
+    (k_room, k_dcol, k_dpos, k_ball, k_bcol, k_krow, k_key, k_agent,
+     k_dir, k_connect, k_next) = jax.random.split(key, 11)
+
+    # Static room-boundary walls + corridor openings (numpy: S/R static).
+    grid = np.zeros((w, h, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    for i in range(4):
+        grid[i * (S - 1), :, :] = [WALL, GREY, 0]
+    for j in range(R + 1):
+        grid[:, j * (S - 1), :] = [WALL, GREY, 0]
+    for j in range(1, R):  # remove_wall(1, j, 3): open the corridor
+        grid[S:2 * (S - 1), j * (S - 1), :] = [EMPTY, 0, 0]
+    grid = jnp.asarray(grid)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+
+    def room_interior(i, j):
+        return (
+            (xs > i * (S - 1)) & (xs < (i + 1) * (S - 1))
+            & (ys > j * (S - 1)) & (ys < (j + 1) * (S - 1))
+        )
+
+    # Locked door + ball room (right column, random row).
+    room_idx = jax.random.randint(k_room, (), 0, R)
+    door_color = jax.random.randint(k_dcol, (), 0, 6).astype(jnp.int8)
+    door_y = room_idx * (S - 1) + jax.random.randint(k_dpos, (), 1, S - 1)
+    grid = grid.at[2 * (S - 1), door_y].set(
+        jnp.stack([jnp.int8(DOOR), door_color, jnp.int8(LOCKED)]))
+    ball_pos = _sample_free_cell(
+        k_ball, (grid[..., 0] == EMPTY) & room_interior(2, room_idx))
+    ball_color = jax.random.randint(k_bcol, (), 0, 6).astype(jnp.int8)
+    grid = grid.at[ball_pos[0], ball_pos[1]].set(
+        jnp.stack([jnp.int8(BALL), ball_color, jnp.int8(0)]))
+
+    # Matching key in a random left-column room.
+    key_row = jax.random.randint(k_krow, (), 0, R)
+    key_pos = _sample_free_cell(
+        k_key, (grid[..., 0] == EMPTY) & room_interior(0, key_row))
+    grid = grid.at[key_pos[0], key_pos[1]].set(
+        jnp.stack([jnp.int8(KEY), door_color, jnp.int8(0)]))
+
+    # Agent in the middle room of the corridor.
+    agent_pos = _sample_free_cell(
+        k_agent, (grid[..., 0] == EMPTY) & room_interior(1, R // 2))
+
+    # connect_all(): corridor openings + the locked door seed the
+    # connection graph; sample (i, j, k) walls until all rooms reach.
+    open_wall = jnp.zeros((3, R, 4), bool)
+    for j in range(1, R):
+        open_wall = open_wall.at[1, j, 3].set(True)
+        open_wall = open_wall.at[1, j - 1, 1].set(True)
+    open_wall = open_wall.at[2, room_idx, 2].set(True)
+    open_wall = open_wall.at[1, room_idx, 0].set(True)
+
+    def cond(carry):
+        grid, open_wall, k, n = carry
+        return (~_keycorridor_reachable(open_wall, R)) & (n < 256)
+
+    def body(carry):
+        grid, open_wall, k, n = carry
+        k, k_i, k_j, k_k, k_c, k_o = jax.random.split(k, 6)
+        i = jax.random.randint(k_i, (), 0, 3)
+        j = jax.random.randint(k_j, (), 0, R)
+        d = jax.random.randint(k_k, (), 0, 4)
+        di, dj = jnp.asarray(DIR_TO_VEC)[d]
+        ni, nj = i + di, j + dj
+        in_range = (ni >= 0) & (ni < 3) & (nj >= 0) & (nj < R)
+        locked_room = ((i == 2) & (j == room_idx)) | (
+            (ni == 2) & (nj == room_idx))
+        valid = in_range & ~open_wall[i, j, d] & ~locked_room
+        off = jax.random.randint(k_o, (), 1, S - 1)
+        x = jnp.where(d == 0, (i + 1) * (S - 1),
+                      jnp.where(d == 2, i * (S - 1), i * (S - 1) + off))
+        y = jnp.where(d == 1, (j + 1) * (S - 1),
+                      jnp.where(d == 3, j * (S - 1), j * (S - 1) + off))
+        color = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+        door = jnp.stack([jnp.int8(DOOR), color, jnp.int8(CLOSED)])
+        grid = jnp.where(valid, grid.at[x, y].set(door), grid)
+        nc = jnp.clip(ni, 0, 2)
+        nr = jnp.clip(nj, 0, R - 1)
+        open_wall = jnp.where(
+            valid,
+            open_wall.at[i, j, d].set(True).at[nc, nr, (d + 2) % 4].set(True),
+            open_wall,
+        )
+        return grid, open_wall, k, n + 1
+
+    grid, open_wall, _, _ = jax.lax.while_loop(
+        cond, body, (grid, open_wall, k_connect, jnp.int32(0)))
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 def _reset_distshift(params: EnvParams, key: jax.Array) -> EnvState:
     """DistShiftEnv: deterministic 9×7 layout — goal at (width-2, 1), a
     3-cell lava strip at x ∈ [3, width-4] in ``strip_row``, agent (1, 1)
@@ -853,6 +1016,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_crossing(params, key)
     if params.kind == "unlock":
         return _reset_unlock(params, key)
+    if params.kind == "keycorridor":
+        return _reset_keycorridor(params, key)
     if params.kind == "dynobs":
         return _reset_dynobs(params, key)
     if params.kind == "distshift":
@@ -1014,6 +1179,17 @@ def step(
         terminated = got_box | hit_lava
         reward = jnp.where(
             got_box,
+            1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
+            0.0,
+        )
+    elif params.success == "pickup_ball":
+        # KeyCorridor semantics: picking the target ball up terminates
+        # with the time-scaled reward (upstream keycorridor.py step();
+        # the ball is the only BALL in the grid).
+        got_ball = does_pickup & (fobj == BALL)
+        terminated = got_ball | hit_lava
+        reward = jnp.where(
+            got_ball,
             1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps),
             0.0,
         )

@@ -89,6 +89,8 @@ class EnvParams:
     success: str = "goal"
     # DistShift family: grid row of the 3-cell lava strip (2 or 5).
     strip_row: int = 0
+    # BlockedUnlockPickup: a ball blocks the cell left of the locked door.
+    blocked_door: bool = False
     # Dynamic-Obstacles family
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
     #                        terminates with reward −1 (upstream quirk)
@@ -120,7 +122,7 @@ def parse_env_id(env_id: str) -> EnvParams:
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
-    ``UnlockPickup``, ``KeyCorridorSsRr``,
+    ``UnlockPickup``, ``BlockedUnlockPickup``, ``KeyCorridorSsRr``,
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
     and ``RedBlueDoors-NxN``. Unknown ids raise with the supported list.
     """
@@ -212,6 +214,13 @@ def parse_env_id(env_id: str) -> EnvParams:
         # unlockpickup.py; max_steps = 8·room_size²).
         return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
                          success="pickup_box")
+    if re.match(r"MiniGrid-BlockedUnlockPickup(-v\d+)?$", env_id):
+        # BlockedUnlockPickupEnv: UnlockPickup plus a random-color ball
+        # placed directly left of the locked door — the agent must move
+        # it aside before unlocking (upstream blockedunlockpickup.py;
+        # max_steps = 16·room_size²).
+        return EnvParams("unlock", 11, 6, 16 * 6 * 6, False,
+                         success="pickup_box", blocked_door=True)
     if re.match(r"MiniGrid-FourRooms(-v\d+)?$", env_id):
         # FourRoomsEnv: 19×19, four rooms with one random gap per shared
         # wall segment, random agent + goal, max_steps=100 (the env the
@@ -232,7 +241,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-Empty[-Random]-NxN, MiniGrid-DoorKey-NxN, "
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
-            "MiniGrid-Unlock, MiniGrid-UnlockPickup, MiniGrid-KeyCorridorSsRr, "
+            "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
+            "MiniGrid-BlockedUnlockPickup, MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
             "MiniGrid-RedBlueDoors-NxN "
             "(each with an optional -vK suffix)."
@@ -744,7 +754,9 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     cells of the left room. No goal square — success is toggling the door
     open (upstream minigrid/envs/unlock.py _gen_grid/step). UnlockPickup
     (success == "pickup_box") adds a random-color box in the right room;
-    success is picking it up (unlockpickup.py)."""
+    success is picking it up (unlockpickup.py). BlockedUnlockPickup
+    (``blocked_door``) additionally drops a ball directly left of the
+    locked door (blockedunlockpickup.py)."""
     w, h = params.width, params.height
     k_door, k_color, k_key, k_agent, k_dir, k_next = jax.random.split(key, 6)
     grid = _base_grid(params, goal=False)
@@ -777,6 +789,15 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
         box_color = jax.random.randint(k_boxcol, (), 0, 6).astype(jnp.int8)
         box_cell = jnp.stack([jnp.int8(BOX), box_color, jnp.int8(0)])
         grid = grid.at[box_pos[0], box_pos[1]].set(box_cell)
+
+    if params.blocked_door:
+        # BlockedUnlockPickup: a random-color ball on the cell directly
+        # left of the locked door (upstream blockedunlockpickup.py
+        # _gen_grid: grid.set(pos[0]-1, pos[1], Ball(...))).
+        k_ballcol, k_key = jax.random.split(k_key)
+        ball_color = jax.random.randint(k_ballcol, (), 0, 6).astype(jnp.int8)
+        grid = grid.at[4, door_y].set(
+            jnp.stack([jnp.int8(BALL), ball_color, jnp.int8(0)]))
 
     key_pos = _sample_free_cell(k_key, (grid[..., 0] == EMPTY) & left_room)
     key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])

@@ -207,3 +207,47 @@ def test_vector_env_random_rollout():
             vec_state, actions
         )
     assert obs.shape == obs0.shape and obs.dtype == obs0.dtype
+
+
+BLOCKED = mg.parse_env_id("MiniGrid-BlockedUnlockPickup-v0")
+
+
+def test_blocked_parse():
+    assert BLOCKED.kind == "unlock" and BLOCKED.success == "pickup_box"
+    assert BLOCKED.blocked_door and BLOCKED.max_steps == 16 * 36
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_blocked_layout(seed):
+    """The blocking ball sits directly left of the locked door
+    (upstream blockedunlockpickup.py _gen_grid), on top of the
+    UnlockPickup invariants."""
+    state = mg.reset(BLOCKED, jax.random.PRNGKey(seed))
+    grid = np.asarray(state.grid)
+    dy = np.nonzero(grid[5, :, 0] == mg.DOOR)[0]
+    assert len(dy) == 1 and grid[5, dy[0], 2] == mg.LOCKED
+    assert grid[4, dy[0], 0] == mg.BALL, "ball blocks the door"
+    assert len(np.argwhere(grid[..., 0] == mg.BOX)) == 1
+    assert len(np.argwhere(grid[..., 0] == mg.BALL)) == 1
+    # key/agent never spawn under the ball (it occupies the cell first)
+    assert len(np.argwhere(grid[..., 0] == mg.KEY)) == 1
+    apos = np.asarray(state.agent_pos)
+    assert grid[apos[0], apos[1], 0] == mg.EMPTY
+
+
+def test_blocked_ball_pickup_does_not_terminate():
+    """Moving the blocking ball is a necessary non-terminal step: pickup
+    of the BALL neither ends the episode nor pays reward."""
+    state = mg.reset(BLOCKED, jax.random.PRNGKey(1))
+    grid = np.asarray(state.grid)
+    dy = int(np.nonzero(grid[5, :, 0] == mg.DOOR)[0][0])
+    state = dataclasses.replace(
+        state,
+        agent_pos=jnp.asarray([3, dy], jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, jnp.int8),
+    )
+    s, r, term, _ = mg.step(BLOCKED, state, jnp.int32(mg.A_PICKUP))
+    assert not bool(term) and float(r) == 0.0
+    assert int(np.asarray(s.carrying)[0]) == mg.BALL
+    assert np.asarray(s.grid)[4, dy, 0] == mg.EMPTY  # door now clear

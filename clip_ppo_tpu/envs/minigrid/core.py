@@ -1158,7 +1158,12 @@ def step(
     does_pickup = (action == A_PICKUP) & can_pickup & (state.carrying[0] == 0)
     # -- drop
     does_drop = (action == A_DROP) & (fobj == EMPTY) & (state.carrying[0] != 0)
-    # -- toggle (doors only; the envs here contain no boxes)
+    # -- toggle: doors open/close/unlock; boxes are replaced by their
+    # contents — or vanish when empty (upstream minigrid Box.toggle:
+    # `env.grid.set(*pos, self.contains)`). A hidden key is encoded in
+    # the box's otherwise-unused state channel as 1 + key_color
+    # (0 = empty box), so UnlockPickup's box disappears if toggled,
+    # exactly like upstream.
     is_door = fobj == DOOR
     has_matching_key = (state.carrying[0] == KEY) & (state.carrying[1] == fcol)
     unlocks = is_door & (fstate == LOCKED) & has_matching_key
@@ -1168,16 +1173,27 @@ def step(
         unlocks | opens, OPEN, jnp.where(closes, CLOSED, fstate)
     ).astype(jnp.int8)
     does_toggle = (action == A_TOGGLE) & is_door
+    does_toggle_box = (action == A_TOGGLE) & (fobj == BOX)
 
     empty_cell = jnp.asarray([EMPTY, 0, 0], dtype=jnp.int8)
     toggled_cell = fwd_cell.at[2].set(new_door_state)
+    box_contents = jnp.where(
+        fstate > 0,
+        jnp.stack([jnp.int8(KEY), (fstate - 1).astype(jnp.int8),
+                   jnp.int8(0)]),
+        empty_cell,
+    )
     new_fwd_cell = jnp.where(
         does_pickup,
         empty_cell,
         jnp.where(
             does_drop,
             state.carrying,
-            jnp.where(does_toggle, toggled_cell, fwd_cell),
+            jnp.where(
+                does_toggle,
+                toggled_cell,
+                jnp.where(does_toggle_box, box_contents, fwd_cell),
+            ),
         ),
     )
     grid = state.grid.at[fx, fy].set(new_fwd_cell)

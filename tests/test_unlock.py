@@ -251,3 +251,29 @@ def test_blocked_ball_pickup_does_not_terminate():
     assert not bool(term) and float(r) == 0.0
     assert int(np.asarray(s.carrying)[0]) == mg.BALL
     assert np.asarray(s.grid)[4, dy, 0] == mg.EMPTY  # door now clear
+
+
+def test_box_toggle_replaces_with_contents():
+    """Upstream Box.toggle puts the box's contents on the grid — or
+    nothing when the box is empty. An UnlockPickup box is empty, so
+    toggling it destroys it (the episode becomes unwinnable, exactly
+    like upstream); a box whose state channel encodes a hidden key
+    (1 + color) reveals that key."""
+    state = mg.reset(PICKUP, jax.random.PRNGKey(5))
+    grid = np.asarray(state.grid).copy()
+    bx, by = np.argwhere(grid[..., 0] == mg.BOX)[0]
+    # empty box: toggle → gone
+    st = dataclasses.replace(
+        state,
+        agent_pos=jnp.asarray([bx - 1, by], jnp.int32),
+        agent_dir=jnp.int32(0),
+    )
+    s, r, term, _ = mg.step(PICKUP, st, jnp.int32(mg.A_TOGGLE))
+    assert not bool(term) and float(r) == 0.0
+    assert np.asarray(s.grid)[bx, by, 0] == mg.EMPTY
+    # box hiding a purple key: toggle → the key appears
+    grid[bx, by] = [mg.BOX, mg.GREY, 1 + mg.PURPLE]
+    st = dataclasses.replace(st, grid=jnp.asarray(grid, jnp.int8))
+    s, r, term, _ = mg.step(PICKUP, st, jnp.int32(mg.A_TOGGLE))
+    cell = np.asarray(s.grid)[bx, by]
+    assert cell[0] == mg.KEY and cell[1] == mg.PURPLE and cell[2] == 0

@@ -89,8 +89,15 @@ class EnvParams:
     success: str = "goal"
     # DistShift family: grid row of the 3-cell lava strip (2 or 5).
     strip_row: int = 0
-    # BlockedUnlockPickup: a ball blocks the cell left of the locked door.
+    # BlockedUnlockPickup / ObstructedMaze: a ball blocks the cell left
+    # of the locked door.
     blocked_door: bool = False
+    # ObstructedMaze: the key hides inside a box (revealed by toggle).
+    key_in_box: bool = False
+    # pickup_ball success: required ball color (−1 = any; ObstructedMaze
+    # targets the BLUE ball specifically, so the blocking ball does not
+    # terminate).
+    target_color: int = -1
     # Dynamic-Obstacles family
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
     #                        terminates with reward −1 (upstream quirk)
@@ -122,7 +129,8 @@ def parse_env_id(env_id: str) -> EnvParams:
     grid plus the classic curriculum envs): ``Empty[-Random]-NxN``,
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
-    ``UnlockPickup``, ``BlockedUnlockPickup``, ``KeyCorridorSsRr``,
+    ``UnlockPickup``, ``BlockedUnlockPickup``,
+    ``ObstructedMaze-1Dl{,h,hb}``, ``KeyCorridorSsRr``,
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
     and ``RedBlueDoors-NxN``. Unknown ids raise with the supported list.
     """
@@ -214,6 +222,21 @@ def parse_env_id(env_id: str) -> EnvParams:
         # unlockpickup.py; max_steps = 8·room_size²).
         return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
                          success="pickup_box")
+    m = re.match(r"MiniGrid-ObstructedMaze-1Dl(h?)(b?)(-v\d+)?$", env_id)
+    if m:
+        # ObstructedMaze_1Dl{,h,hb}: RoomGrid(room_size=6, 1×2 rooms) —
+        # the Unlock layout with the target BLUE ball in the right room;
+        # "h" hides the key inside a box (toggle reveals it), "b" blocks
+        # the locked door with a non-blue ball (the -v1 bugfix colors —
+        # v0's blue blocker was indistinguishable from the target).
+        # Success = picking the blue ball up; max_steps =
+        # 4·num_rooms_visited·room_size² = 288 (upstream
+        # minigrid/envs/obstructedmaze.py).
+        return EnvParams(
+            "unlock", 11, 6, 4 * 2 * 36, False, success="pickup_ball",
+            target_color=BLUE, key_in_box=m.group(1) == "h",
+            blocked_door=m.group(2) == "b",
+        )
     if re.match(r"MiniGrid-BlockedUnlockPickup(-v\d+)?$", env_id):
         # BlockedUnlockPickupEnv: UnlockPickup plus a random-color ball
         # placed directly left of the locked door — the agent must move
@@ -242,7 +265,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-FourRooms, MiniGrid-LavaGapSn, MiniGrid-MultiRoom-Nn[-Ss], "
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
             "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
-            "MiniGrid-BlockedUnlockPickup, MiniGrid-KeyCorridorSsRr, "
+            "MiniGrid-BlockedUnlockPickup, MiniGrid-ObstructedMaze-1Dl{,h,hb}, "
+            "MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
             "MiniGrid-RedBlueDoors-NxN "
             "(each with an optional -vK suffix)."
@@ -790,17 +814,41 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
         box_cell = jnp.stack([jnp.int8(BOX), box_color, jnp.int8(0)])
         grid = grid.at[box_pos[0], box_pos[1]].set(box_cell)
 
+    if params.success == "pickup_ball":
+        # ObstructedMaze: the target BLUE ball on a free right-room cell
+        # (upstream obstructedmaze.py: `self.obj = Ball("blue")`).
+        k_tpos, k_key = jax.random.split(k_key)
+        right_room = (xs >= 6) & (xs <= 9) & (ys >= 1) & (ys <= 4)
+        tpos = _sample_free_cell(k_tpos, (grid[..., 0] == EMPTY) & right_room)
+        grid = grid.at[tpos[0], tpos[1]].set(
+            jnp.stack([jnp.int8(BALL), jnp.int8(BLUE), jnp.int8(0)]))
+
     if params.blocked_door:
-        # BlockedUnlockPickup: a random-color ball on the cell directly
-        # left of the locked door (upstream blockedunlockpickup.py
-        # _gen_grid: grid.set(pos[0]-1, pos[1], Ball(...))).
+        # BlockedUnlockPickup / ObstructedMaze "b": a ball on the cell
+        # directly left of the locked door (upstream
+        # blockedunlockpickup.py _gen_grid: grid.set(pos[0]-1, pos[1],
+        # Ball(...))). ObstructedMaze's blocker is never the target's
+        # blue (the -v1 colors).
         k_ballcol, k_key = jax.random.split(k_key)
-        ball_color = jax.random.randint(k_ballcol, (), 0, 6).astype(jnp.int8)
+        if params.target_color >= 0:
+            c0 = jax.random.randint(k_ballcol, (), 0, 5)
+            ball_color = (c0 + (c0 >= params.target_color)).astype(jnp.int8)
+        else:
+            ball_color = jax.random.randint(k_ballcol, (), 0, 6).astype(jnp.int8)
         grid = grid.at[4, door_y].set(
             jnp.stack([jnp.int8(BALL), ball_color, jnp.int8(0)]))
 
     key_pos = _sample_free_cell(k_key, (grid[..., 0] == EMPTY) & left_room)
-    key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
+    if params.key_in_box:
+        # ObstructedMaze "h": the key hides inside a random-color box —
+        # encoded in the box's state channel as 1 + key color, revealed
+        # by toggle (upstream obstructedmaze.py add_door(key_in_box=True)).
+        k_boxcol, k_agent = jax.random.split(k_agent)
+        box_color = jax.random.randint(k_boxcol, (), 0, 6).astype(jnp.int8)
+        key_cell = jnp.stack([jnp.int8(BOX), box_color,
+                              (color + 1).astype(jnp.int8)])
+    else:
+        key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
     grid = grid.at[key_pos[0], key_pos[1]].set(key_cell)
 
     agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & left_room)
@@ -1220,10 +1268,15 @@ def step(
             0.0,
         )
     elif params.success == "pickup_ball":
-        # KeyCorridor semantics: picking the target ball up terminates
-        # with the time-scaled reward (upstream keycorridor.py step();
-        # the ball is the only BALL in the grid).
+        # KeyCorridor / ObstructedMaze semantics: picking the target
+        # ball up terminates with the time-scaled reward (upstream
+        # keycorridor.py / obstructedmaze.py step()). ``target_color``
+        # disambiguates when a non-target ball exists (ObstructedMaze's
+        # door blocker); KeyCorridor's ball is the only one, so any
+        # color matches.
         got_ball = does_pickup & (fobj == BALL)
+        if params.target_color >= 0:
+            got_ball = got_ball & (fcol == params.target_color)
         terminated = got_ball | hit_lava
         reward = jnp.where(
             got_ball,

@@ -277,3 +277,74 @@ def test_box_toggle_replaces_with_contents():
     s, r, term, _ = mg.step(PICKUP, st, jnp.int32(mg.A_TOGGLE))
     cell = np.asarray(s.grid)[bx, by]
     assert cell[0] == mg.KEY and cell[1] == mg.PURPLE and cell[2] == 0
+
+
+@pytest.mark.parametrize("suffix,key_in_box,blocked", [
+    ("1Dl", False, False), ("1Dlh", True, False), ("1Dlhb", True, True),
+])
+def test_obstructedmaze_layout(suffix, key_in_box, blocked):
+    """ObstructedMaze-1Dl{,h,hb}: the Unlock layout with a BLUE target
+    ball in the right room; "h" hides the key in a box, "b" blocks the
+    door with a non-blue ball."""
+    p = mg.parse_env_id(f"MiniGrid-ObstructedMaze-{suffix}-v1")
+    assert p.success == "pickup_ball" and p.target_color == mg.BLUE
+    assert p.max_steps == 288
+    for seed in range(8):
+        state = mg.reset(p, jax.random.PRNGKey(seed))
+        grid = np.asarray(state.grid)
+        dy = np.nonzero(grid[5, :, 0] == mg.DOOR)[0]
+        assert len(dy) == 1 and grid[5, dy[0], 2] == mg.LOCKED
+        balls = np.argwhere(grid[..., 0] == mg.BALL)
+        blue = [b for b in balls if grid[b[0], b[1], 1] == mg.BLUE]
+        assert len(blue) == 1 and blue[0][0] >= 6, "blue target right room"
+        if blocked:
+            assert grid[4, dy[0], 0] == mg.BALL
+            assert grid[4, dy[0], 1] != mg.BLUE, "v1 blocker is non-blue"
+            assert len(balls) == 2
+        else:
+            assert len(balls) == 1
+        keys = np.argwhere(grid[..., 0] == mg.KEY)
+        boxes = np.argwhere(grid[..., 0] == mg.BOX)
+        if key_in_box:
+            assert len(keys) == 0 and len(boxes) == 1
+            bx, by = boxes[0]
+            assert bx <= 4, "box in the left room"
+            assert grid[bx, by, 2] == 1 + grid[5, dy[0], 1], (
+                "box hides the door-color key")
+        else:
+            assert len(boxes) == 0 and len(keys) == 1
+            assert grid[keys[0][0], keys[0][1], 1] == grid[5, dy[0], 1]
+        apos = np.asarray(state.agent_pos)
+        assert apos[0] <= 4, "agent in the left room"
+
+
+def test_obstructedmaze_blocker_pickup_not_terminal():
+    p = mg.parse_env_id("MiniGrid-ObstructedMaze-1Dlhb-v1")
+    state = mg.reset(p, jax.random.PRNGKey(0))
+    grid = np.asarray(state.grid)
+    dy = int(np.nonzero(grid[5, :, 0] == mg.DOOR)[0][0])
+    st = dataclasses.replace(
+        state,
+        agent_pos=jnp.asarray([3, dy], jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, jnp.int8),
+    )
+    s, r, term, _ = mg.step(p, st, jnp.int32(mg.A_PICKUP))
+    assert not bool(term) and float(r) == 0.0
+    assert int(np.asarray(s.carrying)[0]) == mg.BALL
+
+
+def test_obstructedmaze_blue_ball_pickup_terminates():
+    p = mg.parse_env_id("MiniGrid-ObstructedMaze-1Dl-v0")
+    state = mg.reset(p, jax.random.PRNGKey(2))
+    grid = np.asarray(state.grid)
+    balls = np.argwhere(grid[..., 0] == mg.BALL)
+    bx, by = balls[0]
+    st = dataclasses.replace(
+        state,
+        agent_pos=jnp.asarray([bx - 1, by], jnp.int32),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, jnp.int8),
+    )
+    s, r, term, _ = mg.step(p, st, jnp.int32(mg.A_PICKUP))
+    assert bool(term) and float(r) > 0

@@ -311,13 +311,15 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     if fused_text_path:
         w, h = env.params.width, env.params.height
         # the suffix (first 3 non-empty cells in x-major order) is the
-        # static x=0 border wall on every bordered layout; verify on two
+        # static x=0 border wall on every bordered layout; verify on 16
         # sampled resets and fall back to the split path if it ever varied
+        # (GoToDoor-8x8 puts its left-wall door at (0,2) in ~half of the
+        # episodes, so a 2-sample check could pass by coincidence there).
         suffixes = {
             minigrid_core._objects_suffix(
                 np.asarray(minigrid_core.reset(env.params, jax.random.PRNGKey(s)).grid)
             )
-            for s in (0, 1)
+            for s in range(16)
         }
         if len(suffixes) == 1:
             table = clip_utils.build_minigrid_text_table(

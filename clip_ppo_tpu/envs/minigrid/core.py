@@ -67,6 +67,7 @@ class EnvParams:
 
     kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom"
     #            | "crossing" | "unlock" | "dynobs" | "distshift" | "redblue"
+    #            | "gotodoor" | "fetch" | "gotoobject" | "putnear"
     width: int
     height: int
     max_steps: int
@@ -102,6 +103,9 @@ class EnvParams:
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
     #                        terminates with reward −1 (upstream quirk)
     num_actions: int = NUM_ACTIONS  # 3 for Dynamic-Obstacles
+    # Mission-conditioned families (Fetch/GoToObject/PutNear): number of
+    # candidate objects; the episode's target lives in EnvState.target.
+    num_objs: int = 0
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -119,6 +123,15 @@ class EnvState:
     carrying: jax.Array    # [3] int8 (object, color, state); object==0 → nothing
     step_count: jax.Array  # [] int32
     rng: jax.Array         # PRNG key consumed by autoreset
+    # Mission target for the mission-conditioned families, zeros elsewhere.
+    # Layout: GoToDoor/GoToObject [obj, color, x, y, 0...]; Fetch
+    # [obj, color, 0...]; PutNear [move_obj, move_color, near_obj,
+    # near_color, near_x, near_y, 0, 0]. (The reference consumes these
+    # envs through ImgObsWrapper, which drops the mission string,
+    # `ppo_minigrid.py:110` — the target still drives reward semantics.)
+    target: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(8, jnp.int32)
+    )
 
 
 def parse_env_id(env_id: str) -> EnvParams:
@@ -131,8 +144,10 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
     ``UnlockPickup``, ``BlockedUnlockPickup``,
     ``ObstructedMaze-1Dl{,h,hb}``, ``KeyCorridorSsRr``,
-    ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``
-    and ``RedBlueDoors-NxN``. Unknown ids raise with the supported list.
+    ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``,
+    ``RedBlueDoors-NxN``, and the mission-conditioned quartet
+    ``GoToDoor-NxN``, ``Fetch-NxN-Nk``, ``GoToObject-NxN-Nk``,
+    ``PutNear-NxN-Nk``. Unknown ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
     if m:
@@ -257,6 +272,59 @@ def parse_env_id(env_id: str) -> EnvParams:
         # minigrid lavagap.py; S5/S6/S7 are the registered sizes).
         size = int(m.group(1))
         return EnvParams("lavagap", size, size, 4 * size * size, False)
+    m = re.match(r"MiniGrid-GoToDoor-(\d+)x(\d+)(-v\d+)?$", env_id)
+    if m:
+        # GoToDoorEnv(size): the room's width/height are re-randomized per
+        # episode in [5, size]; four CLOSED doors of distinct colors, one
+        # per wall; the mission names one of them and the ``done`` action
+        # next to it earns the time-scaled reward; any toggle ends the
+        # episode ("don't let the agent open the doors"). max_steps =
+        # 4·size², see_through_walls=True (upstream minigrid/envs/
+        # gotodoor.py — reconstructed; the package is not in this image).
+        # Registered sizes: 5x5, 6x6, 8x8.
+        size = int(m.group(1))
+        assert size == int(m.group(2)), "only square GoToDoor grids"
+        assert size >= 5, "GoToDoor needs size >= 5"
+        return EnvParams("gotodoor", size, size, 4 * size * size, True,
+                         success="goto_door")
+    m = re.match(r"MiniGrid-Fetch-(\d+)x(\d+)-N(\d+)(-v\d+)?$", env_id)
+    if m:
+        # FetchEnv(size, numObjs): numObjs keys/balls of random colors
+        # (duplicate type+color pairs allowed, upstream fetch.py); the
+        # mission names one (type, color) and picking ANY object ends the
+        # episode — time-scaled reward iff it matches. max_steps = 5·size²,
+        # see_through_walls=True (reconstructed). Registered: 5x5-N2,
+        # 6x6-N2, 8x8-N3.
+        size = int(m.group(1))
+        assert size == int(m.group(2)), "only square Fetch grids"
+        return EnvParams("fetch", size, size, 5 * size * size, True,
+                         success="fetch", num_objs=int(m.group(3)))
+    m = re.match(r"MiniGrid-GoToObject-(\d+)x(\d+)-N(\d+)(-v\d+)?$", env_id)
+    if m:
+        # GoToObjectEnv(size, numObjs): numObjs distinct (type, color)
+        # key/ball/box objects; the ``done`` action within Chebyshev
+        # distance 1 of the mission's target earns the time-scaled reward
+        # and ends the episode either way. max_steps = 5·size²,
+        # see_through_walls=True (upstream gotoobject.py — reconstructed).
+        # Registered: 6x6-N2, 8x8-N2.
+        size = int(m.group(1))
+        assert size == int(m.group(2)), "only square GoToObject grids"
+        return EnvParams("gotoobject", size, size, 5 * size * size, True,
+                         success="goto_object", num_objs=int(m.group(3)))
+    m = re.match(r"MiniGrid-PutNear-(\d+)x(\d+)-N(\d+)(-v\d+)?$", env_id)
+    if m:
+        # PutNearEnv(size, numObjs): numObjs distinct (type, color)
+        # key/ball/box objects placed so no two are adjacent; the mission
+        # asks to put object A near object B — dropping A within Chebyshev
+        # distance 1 of B earns the time-scaled reward; any drop of a
+        # carried object ends the episode, as does picking up the wrong
+        # object. max_steps = 5·size (a deliberately short horizon),
+        # see_through_walls=True (upstream putnear.py — reconstructed).
+        # Registered: 6x6-N2, 8x8-N3.
+        size = int(m.group(1))
+        assert size == int(m.group(2)), "only square PutNear grids"
+        return EnvParams("putnear", size, size, 5 * size, True,
+                         success="putnear", num_objs=int(m.group(3)))
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
         raise ValueError(
@@ -268,7 +336,9 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-BlockedUnlockPickup, MiniGrid-ObstructedMaze-1Dl{,h,hb}, "
             "MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
-            "MiniGrid-RedBlueDoors-NxN "
+            "MiniGrid-RedBlueDoors-NxN, MiniGrid-GoToDoor-NxN, "
+            "MiniGrid-Fetch-NxN-Nk, MiniGrid-GoToObject-NxN-Nk, "
+            "MiniGrid-PutNear-NxN-Nk "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -1069,6 +1139,189 @@ def _reset_redblue(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_gotodoor(params: EnvParams, key: jax.Array) -> EnvState:
+    """GoToDoorEnv: the room's width/height are re-sampled per episode in
+    [5, size]; four CLOSED doors of distinct colors, one per wall side at
+    a random position; the agent starts on a random free room cell; the
+    mission targets one door uniformly (upstream minigrid/envs/gotodoor.py
+    _gen_grid — reconstructed; the package is not in this image). Cells
+    outside the sampled room stay EMPTY, matching upstream's un-encoded
+    ``None`` cells."""
+    w, h = params.width, params.height
+    (k_rw, k_rh, k_d0, k_d1, k_d2, k_d3, k_col, k_agent, k_dir, k_tgt,
+     k_next) = jax.random.split(key, 11)
+    rw = jax.random.randint(k_rw, (), 5, w + 1)
+    rh = jax.random.randint(k_rh, (), 5, h + 1)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    wall = (((xs == 0) | (xs == rw - 1)) & (ys < rh)) | (
+        ((ys == 0) | (ys == rh - 1)) & (xs < rw))
+    grid = jnp.where(
+        wall[..., None], jnp.asarray([WALL, GREY, 0], dtype=jnp.int8),
+        jnp.zeros((w, h, 3), jnp.int8).at[..., 0].set(EMPTY))
+
+    # One door per wall, in upstream's doorPos order: top, bottom, left,
+    # right; distinct colors via sequential rejection == a uniform
+    # 4-prefix of a color permutation.
+    door_x = jnp.stack([
+        jax.random.randint(k_d0, (), 2, rw - 2),
+        jax.random.randint(k_d1, (), 2, rw - 2),
+        jnp.int32(0),
+        rw - 1,
+    ])
+    door_y = jnp.stack([
+        jnp.int32(0),
+        rh - 1,
+        jax.random.randint(k_d2, (), 2, rh - 2),
+        jax.random.randint(k_d3, (), 2, rh - 2),
+    ])
+    colors = jax.random.permutation(k_col, 6)[:4].astype(jnp.int8)
+    for i in range(4):
+        grid = grid.at[door_x[i], door_y[i]].set(
+            jnp.stack([jnp.int8(DOOR), colors[i], jnp.int8(CLOSED)]))
+
+    room = (xs < rw) & (ys < rh)
+    agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & room)
+
+    t = jax.random.randint(k_tgt, (), 0, 4)
+    target = jnp.zeros(8, jnp.int32).at[0].set(DOOR).at[1].set(
+        colors[t].astype(jnp.int32)).at[2].set(door_x[t]).at[3].set(door_y[t])
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_fetch(params: EnvParams, key: jax.Array) -> EnvState:
+    """FetchEnv: ``num_objs`` keys/balls with independently random types
+    and colors (duplicate (type, color) pairs allowed) on free cells, the
+    agent on a random free cell, and a uniformly chosen object as the
+    mission target (upstream minigrid/envs/fetch.py _gen_grid —
+    reconstructed)."""
+    k_objs, k_agent, k_dir, k_tgt, k_next = jax.random.split(key, 5)
+    grid = _base_grid(params, goal=False)
+
+    types = jnp.zeros(params.num_objs, jnp.int8)
+    colors = jnp.zeros(params.num_objs, jnp.int8)
+    for i, k in enumerate(jax.random.split(k_objs, params.num_objs)):
+        k_type, k_color, k_pos = jax.random.split(k, 3)
+        obj = jnp.where(jax.random.randint(k_type, (), 0, 2) == 0,
+                        KEY, BALL).astype(jnp.int8)
+        col = jax.random.randint(k_color, (), 0, 6).astype(jnp.int8)
+        pos = _sample_free_cell(k_pos, grid[..., 0] == EMPTY)
+        grid = grid.at[pos[0], pos[1]].set(jnp.stack([obj, col, jnp.int8(0)]))
+        types, colors = types.at[i].set(obj), colors.at[i].set(col)
+
+    agent_pos = _sample_free_cell(k_agent, grid[..., 0] == EMPTY)
+    t = jax.random.randint(k_tgt, (), 0, params.num_objs)
+    target = jnp.zeros(8, jnp.int32).at[0].set(
+        types[t].astype(jnp.int32)).at[1].set(colors[t].astype(jnp.int32))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _distinct_objects(key: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """``n`` distinct (type, color) pairs over {key, ball, box} × 6 colors.
+    Upstream samples type and color independently and rejects duplicates
+    (gotoobject.py/putnear.py) — the resulting distribution is a uniform
+    n-prefix of a permutation of the 18 combos."""
+    combo = jax.random.permutation(key, 3 * 6)[:n]
+    types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[combo // 6]
+    return types, (combo % 6).astype(jnp.int8)
+
+
+def _reset_gotoobject(params: EnvParams, key: jax.Array) -> EnvState:
+    """GoToObjectEnv: ``num_objs`` DISTINCT (type, color) key/ball/box
+    objects on free cells, agent on a random free cell, one object chosen
+    uniformly as the mission target (upstream minigrid/envs/gotoobject.py
+    _gen_grid — reconstructed)."""
+    k_pairs, k_place, k_agent, k_dir, k_tgt, k_next = jax.random.split(key, 6)
+    grid = _base_grid(params, goal=False)
+    types, colors = _distinct_objects(k_pairs, params.num_objs)
+
+    pos_x = jnp.zeros(params.num_objs, jnp.int32)
+    pos_y = jnp.zeros(params.num_objs, jnp.int32)
+    for i, k in enumerate(jax.random.split(k_place, params.num_objs)):
+        pos = _sample_free_cell(k, grid[..., 0] == EMPTY)
+        grid = grid.at[pos[0], pos[1]].set(
+            jnp.stack([types[i], colors[i], jnp.int8(0)]))
+        pos_x, pos_y = pos_x.at[i].set(pos[0]), pos_y.at[i].set(pos[1])
+
+    agent_pos = _sample_free_cell(k_agent, grid[..., 0] == EMPTY)
+    t = jax.random.randint(k_tgt, (), 0, params.num_objs)
+    target = jnp.zeros(8, jnp.int32).at[0].set(
+        types[t].astype(jnp.int32)).at[1].set(
+        colors[t].astype(jnp.int32)).at[2].set(pos_x[t]).at[3].set(pos_y[t])
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_putnear(params: EnvParams, key: jax.Array) -> EnvState:
+    """PutNearEnv: ``num_objs`` distinct (type, color) objects placed so
+    no two are within Chebyshev distance 1 of each other (upstream
+    putnear.py's ``near_obj`` reject_fn); the mission picks a move object
+    and a DIFFERENT near-target object, both uniform (reconstructed)."""
+    (k_pairs, k_place, k_agent, k_dir, k_move, k_tgt,
+     k_next) = jax.random.split(key, 7)
+    w, h = params.width, params.height
+    grid = _base_grid(params, goal=False)
+    types, colors = _distinct_objects(k_pairs, params.num_objs)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    near_any = jnp.zeros((w, h), bool)
+    pos_x = jnp.zeros(params.num_objs, jnp.int32)
+    pos_y = jnp.zeros(params.num_objs, jnp.int32)
+    for i, k in enumerate(jax.random.split(k_place, params.num_objs)):
+        pos = _sample_free_cell(k, (grid[..., 0] == EMPTY) & ~near_any)
+        grid = grid.at[pos[0], pos[1]].set(
+            jnp.stack([types[i], colors[i], jnp.int8(0)]))
+        near_any = near_any | (
+            (jnp.abs(xs - pos[0]) <= 1) & (jnp.abs(ys - pos[1]) <= 1))
+        pos_x, pos_y = pos_x.at[i].set(pos[0]), pos_y.at[i].set(pos[1])
+
+    agent_pos = _sample_free_cell(k_agent, grid[..., 0] == EMPTY)
+    mv = jax.random.randint(k_move, (), 0, params.num_objs)
+    # targetIdx rejection-sampled until != moveIdx == uniform over the rest.
+    t0 = jax.random.randint(k_tgt, (), 0, params.num_objs - 1)
+    tg = t0 + (t0 >= mv)
+    target = (jnp.zeros(8, jnp.int32)
+              .at[0].set(types[mv].astype(jnp.int32))
+              .at[1].set(colors[mv].astype(jnp.int32))
+              .at[2].set(types[tg].astype(jnp.int32))
+              .at[3].set(colors[tg].astype(jnp.int32))
+              .at[4].set(pos_x[tg]).at[5].set(pos_y[tg]))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -1093,6 +1346,14 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_distshift(params, key)
     if params.kind == "redblue":
         return _reset_redblue(params, key)
+    if params.kind == "gotodoor":
+        return _reset_gotodoor(params, key)
+    if params.kind == "fetch":
+        return _reset_fetch(params, key)
+    if params.kind == "gotoobject":
+        return _reset_gotoobject(params, key)
+    if params.kind == "putnear":
+        return _reset_putnear(params, key)
     raise ValueError(params.kind)
 
 
@@ -1315,6 +1576,54 @@ def step(
         does_pickup, fwd_cell, jnp.where(does_drop, empty_cell * 0, state.carrying)
     )
 
+    time_reward = 1.0 - 0.9 * (step_count.astype(jnp.float32)
+                               / params.max_steps)
+    if params.success == "goto_door":
+        # GoToDoor semantics (upstream gotodoor.py step — reconstructed):
+        # any toggle terminates with 0 ("don't let the agent open the
+        # doors"); ``done`` terminates, rewarded iff the agent is axially
+        # adjacent to the target door (same x within |Δy| < 2, or same y
+        # within |Δx| < 2).
+        tx, ty = state.target[2], state.target[3]
+        adjacent = ((new_pos[0] == tx) & (jnp.abs(new_pos[1] - ty) < 2)) | (
+            (new_pos[1] == ty) & (jnp.abs(new_pos[0] - tx) < 2))
+        terminated = terminated | (action == A_TOGGLE) | (action == A_DONE)
+        reward = jnp.where((action == A_DONE) & adjacent, time_reward, reward)
+    elif params.success == "fetch":
+        # Fetch semantics (upstream fetch.py step — reconstructed): the
+        # step after which the agent carries ANYTHING terminates — with
+        # the time-scaled reward iff the carried (type, color) matches
+        # the mission target.
+        has = carrying[0] != 0
+        match = (carrying[0].astype(jnp.int32) == state.target[0]) & (
+            carrying[1].astype(jnp.int32) == state.target[1])
+        terminated = terminated | has
+        reward = jnp.where(has & match, time_reward, reward)
+    elif params.success == "goto_object":
+        # GoToObject semantics (upstream gotoobject.py step —
+        # reconstructed): toggle terminates with 0; ``done`` terminates,
+        # rewarded iff the agent is within Chebyshev distance 1 of the
+        # target object's reset-time position.
+        near = (jnp.abs(new_pos[0] - state.target[2]) <= 1) & (
+            jnp.abs(new_pos[1] - state.target[3]) <= 1)
+        terminated = terminated | (action == A_TOGGLE) | (action == A_DONE)
+        reward = jnp.where((action == A_DONE) & near, time_reward, reward)
+    elif params.success == "putnear":
+        # PutNear semantics (upstream putnear.py step — reconstructed):
+        # a pickup that leaves the agent carrying anything but the move
+        # object terminates with 0; a drop action while carrying always
+        # terminates — rewarded iff the drop landed (fwd cell now holds
+        # it) within Chebyshev distance 1 of the near-target's position.
+        wrong_pickup = (action == A_PICKUP) & (carrying[0] != 0) & ~(
+            (carrying[0].astype(jnp.int32) == state.target[0])
+            & (carrying[1].astype(jnp.int32) == state.target[1]))
+        drops = (action == A_DROP) & (state.carrying[0] != 0)
+        landed_near = does_drop & (
+            jnp.abs(fx - state.target[4]) <= 1) & (
+            jnp.abs(fy - state.target[5]) <= 1)
+        terminated = terminated | wrong_pickup | drops
+        reward = jnp.where(drops & landed_near, time_reward, reward)
+
     if params.kind == "dynobs":
         # Post-transition penalty exactly like upstream: forward into a
         # pre-move-occupied non-goal cell → reward −1, episode over.
@@ -1331,6 +1640,7 @@ def step(
         carrying=carrying,
         step_count=step_count,
         rng=state.rng,
+        target=state.target,
     )
     return new_state, reward, terminated, truncated
 
@@ -1490,6 +1800,13 @@ def describe_rollout(
     (`clip_ppo_minigrid.py:164-211`). The grid scan therefore runs once
     per env (N), not once per sample (T·N) — this sits on the host
     critical path of every text-modality iteration.
+
+    Known approximation: GoToDoor at sizes > 5 sometimes places its
+    left-wall door at (0,2), so the suffix varies *across* episodes
+    there; after a mid-rollout autoreset this snapshot's suffix is one
+    episode stale (every other family's suffix is the static border
+    wall — the fused text-table path guards this with a 16-reset
+    constancy check and falls back to the split path).
     """
     t, n = agent_dir.shape
     obj_suffixes = [

@@ -45,7 +45,7 @@ def test_parse_redbluedoors_ids():
 
 def test_unknown_id_error_names_new_families():
     with pytest.raises(ValueError, match="DistShift.*RedBlueDoors"):
-        mg.parse_env_id("MiniGrid-GoToDoor-5x5-v0")
+        mg.parse_env_id("MiniGrid-GoToSeq-5x5-v0")
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,8 @@ class EnvParams:
     # Mission-conditioned families (Fetch/GoToObject/PutNear): number of
     # candidate objects; the episode's target lives in EnvState.target.
     num_objs: int = 0
+    # Memory S{n}Random variants: re-sample the hallway length per episode.
+    random_length: bool = False
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -145,9 +147,10 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``UnlockPickup``, ``BlockedUnlockPickup``,
     ``ObstructedMaze-1Dl{,h,hb}``, ``KeyCorridorSsRr``,
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``,
-    ``RedBlueDoors-NxN``, and the mission-conditioned quartet
-    ``GoToDoor-NxN``, ``Fetch-NxN-Nk``, ``GoToObject-NxN-Nk``,
-    ``PutNear-NxN-Nk``. Unknown ids raise with the supported list.
+    ``RedBlueDoors-NxN``, ``LockedRoom``, ``MemoryS{n}[Random]``, and the
+    mission-conditioned quartet ``GoToDoor-NxN``, ``Fetch-NxN-Nk``,
+    ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``. Unknown ids raise with
+    the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
     if m:
@@ -272,6 +275,29 @@ def parse_env_id(env_id: str) -> EnvParams:
         # minigrid lavagap.py; S5/S6/S7 are the registered sizes).
         size = int(m.group(1))
         return EnvParams("lavagap", size, size, 4 * size * size, False)
+    m = re.match(r"MiniGrid-LockedRoom(-v\d+)?$", env_id)
+    if m:
+        # LockedRoomEnv(size=19): a central hallway flanked by 2×3 rooms;
+        # one room is locked and holds the goal, the key (of the locked
+        # door's color) lies in another room; the agent starts in the
+        # hallway. max_steps = 10·size, see_through_walls=False (upstream
+        # minigrid/envs/lockedroom.py — reconstructed; only size 19 is
+        # registered).
+        return EnvParams("lockedroom", 19, 19, 10 * 19, False)
+    m = re.match(r"MiniGrid-MemoryS(\d+)(Random)?(-v\d+)?$", env_id)
+    if m:
+        # MemoryEnv(size): the agent starts in a small room holding one
+        # green key-or-ball, walks a hallway, and must step onto the cell
+        # in front of the matching object at the fork (wrong side
+        # terminates with 0). Success/failure cells live in
+        # EnvState.target. max_steps = 5·size², see_through_walls=False
+        # (upstream minigrid/envs/memory.py — reconstructed). Registered:
+        # S7, S9, S11, S13, S13Random, S17Random.
+        size = int(m.group(1))
+        assert size % 2 == 1, "Memory needs an odd size"
+        assert size >= 7, "Memory needs size >= 7"
+        return EnvParams("memory", size, size, 5 * size * size, False,
+                         random_length=bool(m.group(2)), success="memory")
     m = re.match(r"MiniGrid-GoToDoor-(\d+)x(\d+)(-v\d+)?$", env_id)
     if m:
         # GoToDoorEnv(size): the room's width/height are re-randomized per
@@ -336,7 +362,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-BlockedUnlockPickup, MiniGrid-ObstructedMaze-1Dl{,h,hb}, "
             "MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
-            "MiniGrid-RedBlueDoors-NxN, MiniGrid-GoToDoor-NxN, "
+            "MiniGrid-RedBlueDoors-NxN, MiniGrid-LockedRoom, "
+            "MiniGrid-MemoryS{n}[Random], MiniGrid-GoToDoor-NxN, "
             "MiniGrid-Fetch-NxN-Nk, MiniGrid-GoToObject-NxN-Nk, "
             "MiniGrid-PutNear-NxN-Nk "
             "(each with an optional -vK suffix)."
@@ -1139,6 +1166,140 @@ def _reset_redblue(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_lockedroom(params: EnvParams, key: jax.Array) -> EnvState:
+    """LockedRoomEnv (size 19): vertical hallway walls at width//2 ± 2,
+    three room rows per side split at y = n·(height−1)//3, one door per
+    room at (wall, row+3); a uniformly chosen room is LOCKED and holds
+    the goal, the matching-color key sits in a different room, door
+    colors are a uniform permutation; the agent starts on a free hallway
+    cell (upstream minigrid/envs/lockedroom.py _gen_grid —
+    reconstructed)."""
+    w, h = params.width, params.height
+    (k_lock, k_goal, k_col, k_keyroom, k_keypos, k_agent,
+     k_dir, k_next) = jax.random.split(key, 8)
+    lwall, rwall = w // 2 - 2, w // 2 + 2
+
+    grid = np.zeros((w, h, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = grid[w - 1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = grid[:, h - 1, :] = [WALL, GREY, 0]
+    grid[lwall, :, :] = grid[rwall, :, :] = [WALL, GREY, 0]
+    rooms = []  # (top_x, top_y, door_x, door_y) in upstream's order
+    for n in range(3):
+        j = n * (h - 1) // 3
+        grid[:lwall, j, :] = [WALL, GREY, 0]
+        grid[rwall:, j, :] = [WALL, GREY, 0]
+        rooms.append((0, j, lwall, j + 3))
+        rooms.append((rwall, j, rwall, j + 3))
+    grid = jnp.asarray(grid)
+
+    room_w, room_h = lwall + 1, h // 3 + 1
+    tops = jnp.asarray([(r[0], r[1]) for r in rooms], jnp.int32)
+    doors = jnp.asarray([(r[2], r[3]) for r in rooms], jnp.int32)
+
+    def rand_pos(k, room_idx):
+        # upstream LockedRoom.rand_pos: uniform over the room interior
+        kx, ky = jax.random.split(k)
+        x = tops[room_idx, 0] + jax.random.randint(kx, (), 1, room_w - 1)
+        y = tops[room_idx, 1] + jax.random.randint(ky, (), 1, room_h - 1)
+        return x, y
+
+    locked = jax.random.randint(k_lock, (), 0, 6)
+    gx, gy = rand_pos(k_goal, locked)
+    grid = grid.at[gx, gy].set(jnp.asarray([GOAL, GREEN, 0], jnp.int8))
+
+    # Door colors: sequential draws without replacement == a permutation.
+    colors = jax.random.permutation(k_col, 6).astype(jnp.int8)
+    for i in range(6):
+        state_i = jnp.where(i == locked, LOCKED, CLOSED).astype(jnp.int8)
+        grid = grid.at[doors[i, 0], doors[i, 1]].set(
+            jnp.stack([jnp.int8(DOOR), colors[i], state_i]))
+
+    # Key of the locked door's color in a uniformly-chosen OTHER room.
+    k0 = jax.random.randint(k_keyroom, (), 0, 5)
+    key_room = k0 + (k0 >= locked)
+    kx, ky = rand_pos(k_keypos, key_room)
+    grid = grid.at[kx, ky].set(
+        jnp.stack([jnp.int8(KEY), colors[locked], jnp.int8(0)]))
+
+    # Agent on a free hallway cell (upstream place_agent top=(lwall, 0),
+    # size=(rwall-lwall, h) — rejection over empty cells).
+    xs = jnp.arange(w).reshape(w, 1)
+    hallway = (xs >= lwall) & (xs < rwall)
+    agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & hallway)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
+def _reset_memory(params: EnvParams, key: jax.Array) -> EnvState:
+    """MemoryEnv: a 3-cell-tall start room holding one green key-or-ball,
+    a 1-cell hallway to a T-fork with a green ball and a green key on the
+    far side; stepping onto the cell in front of the object matching the
+    start room's terminates with the time-scaled reward, the other side
+    with 0 (upstream minigrid/envs/memory.py _gen_grid — reconstructed).
+    Success/failure cells are stored in ``EnvState.target`` as
+    [sx, sy, fx, fy, 0...]."""
+    w, h = params.width, params.height
+    k_len, k_agent, k_start, k_order, k_next = jax.random.split(key, 5)
+    mid = h // 2
+    upper, lower = mid - 2, mid + 2
+    hallway_end = (jax.random.randint(k_len, (), 4, w - 2)
+                   if params.random_length else jnp.int32(w - 3))
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    border = (xs == 0) | (xs == w - 1) | (ys == 0) | (ys == h - 1)
+    start_room = ((ys == upper) | (ys == lower)) & (xs >= 1) & (xs <= 4)
+    start_corner = (xs == 4) & ((ys == upper + 1) | (ys == lower - 1))
+    hallway = (((ys == upper + 1) | (ys == lower - 1))
+               & (xs >= 5) & (xs < hallway_end))
+    vertical = (xs == hallway_end) & (ys != mid)
+    wall = border | start_room | start_corner | hallway | vertical
+    grid = jnp.where(
+        wall[..., None], jnp.asarray([WALL, GREY, 0], dtype=jnp.int8),
+        jnp.zeros((w, h, 3), jnp.int8).at[..., 0].set(EMPTY))
+
+    # Start-room object and the fork pair (all green; upstream fixes the
+    # color and randomizes which side holds the ball vs the key).
+    start_is_key = jax.random.randint(k_start, (), 0, 2) == 0
+    start_obj = jnp.where(start_is_key, KEY, BALL).astype(jnp.int8)
+    grid = grid.at[1, mid - 1].set(
+        jnp.stack([start_obj, jnp.int8(GREEN), jnp.int8(0)]))
+    top_is_ball = jax.random.randint(k_order, (), 0, 2) == 0
+    top_obj = jnp.where(top_is_ball, BALL, KEY).astype(jnp.int8)
+    bot_obj = jnp.where(top_is_ball, KEY, BALL).astype(jnp.int8)
+    grid = grid.at[hallway_end + 1, mid - 2].set(
+        jnp.stack([top_obj, jnp.int8(GREEN), jnp.int8(0)]))
+    grid = grid.at[hallway_end + 1, mid + 2].set(
+        jnp.stack([bot_obj, jnp.int8(GREEN), jnp.int8(0)]))
+
+    # success = the cell in FRONT of the matching object; failure = in
+    # front of the other one.
+    top_matches = top_obj == start_obj
+    sx = hallway_end + 1
+    sy = jnp.where(top_matches, mid - 1, mid + 1)
+    fy = jnp.where(top_matches, mid + 1, mid - 1)
+    target = (jnp.zeros(8, jnp.int32).at[0].set(sx).at[1].set(sy)
+              .at[2].set(sx).at[3].set(fy))
+
+    agent_x = jax.random.randint(k_agent, (), 1, hallway_end + 1)
+    return EnvState(
+        grid=grid,
+        agent_pos=jnp.stack([agent_x, jnp.int32(mid)]),
+        agent_dir=jnp.int32(0),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
 def _reset_gotodoor(params: EnvParams, key: jax.Array) -> EnvState:
     """GoToDoorEnv: the room's width/height are re-sampled per episode in
     [5, size]; four CLOSED doors of distinct colors, one per wall side at
@@ -1346,6 +1507,10 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_distshift(params, key)
     if params.kind == "redblue":
         return _reset_redblue(params, key)
+    if params.kind == "lockedroom":
+        return _reset_lockedroom(params, key)
+    if params.kind == "memory":
+        return _reset_memory(params, key)
     if params.kind == "gotodoor":
         return _reset_gotodoor(params, key)
     if params.kind == "fetch":
@@ -1421,6 +1586,11 @@ def step(
     """One environment transition. Returns (state, reward, terminated, truncated)."""
     action = action.astype(jnp.int32)
     step_count = state.step_count + 1
+
+    if params.success == "memory":
+        # Upstream MemoryEnv.step remaps pickup → toggle before the
+        # transition so the fork objects cannot be picked up.
+        action = jnp.where(action == A_PICKUP, A_TOGGLE, action)
 
     if params.kind == "dynobs":
         # Upstream wraps out-of-range actions to 0 (the 3-action space).
@@ -1608,6 +1778,18 @@ def step(
             jnp.abs(new_pos[1] - state.target[3]) <= 1)
         terminated = terminated | (action == A_TOGGLE) | (action == A_DONE)
         reward = jnp.where((action == A_DONE) & near, time_reward, reward)
+    elif params.success == "memory":
+        # MemoryEnv semantics (upstream memory.py step — reconstructed):
+        # standing on the cell in front of the matching fork object
+        # terminates with the time-scaled reward; the other side's cell
+        # terminates with 0. Checked post-transition on the new position.
+        on_success = (new_pos[0] == state.target[0]) & (
+            new_pos[1] == state.target[1])
+        on_failure = (new_pos[0] == state.target[2]) & (
+            new_pos[1] == state.target[3])
+        terminated = terminated | on_success | on_failure
+        reward = jnp.where(on_success, time_reward,
+                           jnp.where(on_failure, 0.0, reward))
     elif params.success == "putnear":
         # PutNear semantics (upstream putnear.py step — reconstructed):
         # a pickup that leaves the agent carrying anything but the move

@@ -108,6 +108,9 @@ class EnvParams:
     num_objs: int = 0
     # Memory S{n}Random variants: re-sample the hallway length per episode.
     random_length: bool = False
+    # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
+    # room the agent starts in; num_quarters rides ``min_rooms``.
+    agent_room: tuple[int, int] = (0, 0)
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -255,6 +258,47 @@ def parse_env_id(env_id: str) -> EnvParams:
             target_color=BLUE, key_in_box=m.group(1) == "h",
             blocked_door=m.group(2) == "b",
         )
+    m = re.match(r"MiniGrid-ObstructedMaze-2Dl(h?)(b?)(-v\d+)?$", env_id)
+    if m:
+        # ObstructedMaze_2Dl{,h,hb}: the Full maze restricted to one
+        # quarter with the agent starting in the side room (2, 1) —
+        # upstream ObstructedMaze_Full((2, 1), key_in_box, blocked,
+        # num_quarters=1, num_rooms_visited=4); max_steps =
+        # 4·num_rooms_visited·room_size² = 576 (upstream
+        # minigrid/envs/obstructedmaze.py — reconstructed).
+        return EnvParams(
+            "obstructedfull", 16, 16, 4 * 4 * 36, False,
+            success="pickup_ball", target_color=BLUE,
+            key_in_box=m.group(1) == "h", blocked_door=m.group(2) == "b",
+            min_rooms=1, agent_room=(2, 1),
+        )
+    m = re.match(r"MiniGrid-ObstructedMaze-(1Q|2Q|Full)(-v\d+)?$", env_id)
+    if m:
+        # ObstructedMaze_{1Q,2Q,Full}: a 3×3 RoomGrid of 6×6 rooms; the
+        # agent starts in the middle room, which opens onto
+        # ``num_quarters`` side rooms; each side room has two LOCKED
+        # doors toward its corners with the keys hidden in boxes and the
+        # doors blocked by balls; the target BLUE ball sits in one of the
+        # first ``num_quarters`` corner rooms. max_steps =
+        # 4·num_rooms_visited·room_size² with num_rooms_visited
+        # ∈ {1Q: 5, 2Q: 11, Full: 25} (upstream obstructedmaze.py —
+        # reconstructed).
+        q = {"1Q": 1, "2Q": 2, "Full": 4}[m.group(1)]
+        visited = {"1Q": 5, "2Q": 11, "Full": 25}[m.group(1)]
+        return EnvParams(
+            "obstructedfull", 16, 16, 4 * visited * 36, False,
+            success="pickup_ball", target_color=BLUE,
+            key_in_box=True, blocked_door=True,
+            min_rooms=q, agent_room=(1, 1),
+        )
+    if re.match(r"MiniGrid-Playground(-v\d+)?$", env_id):
+        # PlaygroundEnv: 19×19 split into 3×3 rooms of 6×6, one CLOSED
+        # random-color door per internal wall segment (12 doors), twelve
+        # random key/ball/box objects of random colors, random agent
+        # start. No goal and no reward — episodes only truncate at
+        # max_steps=100 (upstream minigrid/envs/playground.py —
+        # reconstructed).
+        return EnvParams("playground", 19, 19, 100, False)
     if re.match(r"MiniGrid-BlockedUnlockPickup(-v\d+)?$", env_id):
         # BlockedUnlockPickupEnv: UnlockPickup plus a random-color ball
         # placed directly left of the locked door — the agent must move
@@ -360,6 +404,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-SimpleCrossingSsNn, MiniGrid-LavaCrossingSsNn, "
             "MiniGrid-Unlock, MiniGrid-UnlockPickup, "
             "MiniGrid-BlockedUnlockPickup, MiniGrid-ObstructedMaze-1Dl{,h,hb}, "
+            "MiniGrid-ObstructedMaze-2Dl{,h,hb}, "
+            "MiniGrid-ObstructedMaze-{1Q,2Q,Full}, MiniGrid-Playground, "
             "MiniGrid-KeyCorridorSsRr, "
             "MiniGrid-Dynamic-Obstacles[-Random]-NxN, MiniGrid-DistShift{1,2}, "
             "MiniGrid-RedBlueDoors-NxN, MiniGrid-LockedRoom, "
@@ -1105,6 +1151,164 @@ def _reset_keycorridor(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_obstructedfull(params: EnvParams, key: jax.Array) -> EnvState:
+    """ObstructedMaze Full family (2Dl*/1Q/2Q/Full): 3×3 RoomGrid of 6×6
+    rooms (16×16 grid, walls at multiples of 5). Door colors are a random
+    permutation; for each of the first ``min_rooms`` quarters the middle
+    room (1,1) gets an unlocked door (wall i, color[i]) onto side room
+    ``SIDE[i]``, and the side room gets LOCKED doors on walls (i±1)%4
+    with colors color[(i±1)%6], each optionally blocked by a non-blue
+    ball on the side-room cell before the door and with its key
+    (optionally hidden in a box) placed in the side room. The target BLUE
+    ball sits in a uniformly chosen corner among the first ``min_rooms``;
+    the agent starts in ``params.agent_room`` (upstream
+    minigrid/envs/obstructedmaze.py ObstructedMaze_Full._gen_grid —
+    reconstructed; the blocker/box colors follow this module's 1Dl*
+    convention: uniform, blockers never the target's blue)."""
+    w, h = params.width, params.height
+    Q = params.min_rooms
+    SIDE = ((2, 1), (1, 2), (0, 1), (1, 0))
+    CORNER = ((2, 0), (2, 2), (0, 2), (0, 0))
+
+    grid = np.zeros((w, h, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * 5, :, :] = [WALL, GREY, 0]
+        grid[:, t * 5, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+
+    def room_interior(i, j):
+        return ((xs > i * 5) & (xs < (i + 1) * 5)
+                & (ys > j * 5) & (ys < (j + 1) * 5))
+
+    def door_pos(i, j, d, off):
+        # Wall ``d`` (DIR_TO_VEC order) of room (i, j); off traced ∈ [1,4]
+        # (upstream RoomGrid._gen_grid pre-samples these uniforms).
+        if d == 0:
+            return (i + 1) * 5, j * 5 + off
+        if d == 1:
+            return i * 5 + off, (j + 1) * 5
+        if d == 2:
+            return i * 5, j * 5 + off
+        return i * 5 + off, j * 5
+
+    k_col, k_ballroom, k_ballpos, k_agent, k_dir, k_next, k_rest = (
+        jax.random.split(key, 7))
+    door_colors = jax.random.permutation(k_col, 6).astype(jnp.int8)
+    for i in range(Q):
+        si, sj = SIDE[i]
+        (k_moff, k_rest) = jax.random.split(k_rest)
+        x, y = door_pos(1, 1, i, jax.random.randint(k_moff, (), 1, 5))
+        grid = grid.at[x, y].set(
+            jnp.stack([jnp.int8(DOOR), door_colors[i], jnp.int8(CLOSED)]))
+        # Doors + blockers first, keys after — a key sampled on the cell
+        # before a later door would otherwise be overwritten by that
+        # door's blocker (the blocker cell is forced, not sampled).
+        for kk in (-1, 1):
+            d = (i + kk) % 4
+            color = door_colors[(i + kk) % 6]
+            k_off, k_bcol, k_rest = jax.random.split(k_rest, 3)
+            x, y = door_pos(si, sj, d, jax.random.randint(k_off, (), 1, 5))
+            grid = grid.at[x, y].set(
+                jnp.stack([jnp.int8(DOOR), color, jnp.int8(LOCKED)]))
+            if params.blocked_door:
+                bx = x - int(DIR_TO_VEC[d][0])
+                by = y - int(DIR_TO_VEC[d][1])
+                c0 = jax.random.randint(k_bcol, (), 0, 5)
+                ball_color = (c0 + (c0 >= BLUE)).astype(jnp.int8)
+                grid = grid.at[bx, by].set(
+                    jnp.stack([jnp.int8(BALL), ball_color, jnp.int8(0)]))
+        for kk in (-1, 1):
+            color = door_colors[(i + kk) % 6]
+            k_kpos, k_boxcol, k_rest = jax.random.split(k_rest, 3)
+            kpos = _sample_free_cell(
+                k_kpos, (grid[..., 0] == EMPTY) & room_interior(si, sj))
+            if params.key_in_box:
+                box_color = jax.random.randint(
+                    k_boxcol, (), 0, 6).astype(jnp.int8)
+                cell = jnp.stack([jnp.int8(BOX), box_color,
+                                  (color + 1).astype(jnp.int8)])
+            else:
+                cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
+            grid = grid.at[kpos[0], kpos[1]].set(cell)
+
+    ball_room = jax.random.randint(k_ballroom, (), 0, Q)
+    corner_masks = jnp.stack([room_interior(*CORNER[t]) for t in range(Q)])
+    ball_pos = _sample_free_cell(
+        k_ballpos, corner_masks[ball_room] & (grid[..., 0] == EMPTY))
+    grid = grid.at[ball_pos[0], ball_pos[1]].set(
+        jnp.stack([jnp.int8(BALL), jnp.int8(BLUE), jnp.int8(0)]))
+
+    agent_pos = _sample_free_cell(
+        k_agent, (grid[..., 0] == EMPTY) & room_interior(*params.agent_room))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
+def _reset_playground(params: EnvParams, key: jax.Array) -> EnvState:
+    """PlaygroundEnv: 19×19, 3×3 rooms of 6×6 (walls at x,y ∈ {6, 12}),
+    one CLOSED random-color door per internal wall segment (12 doors),
+    random agent start anywhere, then 12 random objects (uniform
+    key/ball/box × uniform color) on free cells. No goal, no reward
+    (upstream minigrid/envs/playground.py _gen_grid — reconstructed)."""
+    w, h = params.width, params.height
+    grid = np.zeros((w, h, 3), dtype=np.int8)
+    grid[..., 0] = EMPTY
+    for t in (0, 6, 12, w - 1):
+        grid[t, :, :] = [WALL, GREY, 0]
+        grid[:, t, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    k_doors, k_agent, k_dir, k_objs, k_next = jax.random.split(key, 5)
+    # Vertical doors at x ∈ {6, 12} per room row; horizontal at y ∈ {6, 12}
+    # per room column (upstream: one door per segment, y/x uniform over
+    # the 5 interior offsets, color uniform).
+    for i in range(2):
+        for j in range(3):
+            k_off, k_col, k_off2, k_col2, k_doors = jax.random.split(
+                k_doors, 5)
+            off = jax.random.randint(k_off, (), 1, 6)
+            color = jax.random.randint(k_col, (), 0, 6).astype(jnp.int8)
+            grid = grid.at[(i + 1) * 6, j * 6 + off].set(
+                jnp.stack([jnp.int8(DOOR), color, jnp.int8(CLOSED)]))
+            off2 = jax.random.randint(k_off2, (), 1, 6)
+            color2 = jax.random.randint(k_col2, (), 0, 6).astype(jnp.int8)
+            grid = grid.at[j * 6 + off2, (i + 1) * 6].set(
+                jnp.stack([jnp.int8(DOOR), color2, jnp.int8(CLOSED)]))
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+    agent_pos = _sample_free_cell(k_agent, grid[..., 0] == EMPTY)
+    not_agent = (xs != agent_pos[0]) | (ys != agent_pos[1])
+    obj_types = jnp.asarray([KEY, BALL, BOX], jnp.int8)
+    for _ in range(12):
+        k_t, k_c, k_p, k_objs = jax.random.split(k_objs, 4)
+        t = obj_types[jax.random.randint(k_t, (), 0, 3)]
+        c = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+        pos = _sample_free_cell(
+            k_p, (grid[..., 0] == EMPTY) & not_agent)
+        grid = grid.at[pos[0], pos[1]].set(
+            jnp.stack([t, c, jnp.int8(0)]))
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+    )
+
+
 def _reset_distshift(params: EnvParams, key: jax.Array) -> EnvState:
     """DistShiftEnv: deterministic 9×7 layout — goal at (width-2, 1), a
     3-cell lava strip at x ∈ [3, width-4] in ``strip_row``, agent (1, 1)
@@ -1509,6 +1713,10 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_redblue(params, key)
     if params.kind == "lockedroom":
         return _reset_lockedroom(params, key)
+    if params.kind == "obstructedfull":
+        return _reset_obstructedfull(params, key)
+    if params.kind == "playground":
+        return _reset_playground(params, key)
     if params.kind == "memory":
         return _reset_memory(params, key)
     if params.kind == "gotodoor":

@@ -1,0 +1,75 @@
+"""Vanilla-PPO learning checks over MiniGrid families, one JSON line each.
+
+Reproduces the docs/PERFORMANCE.md "learning check" rows: a real training
+run per env id through the public CLI train() API (the same path
+`python -m clip_ppo_tpu.cli.ppo_minigrid` drives), reporting wall SPS and
+the first/last recent-return means so learning (or an honest negative)
+is visible from one line.
+
+    python benchmarks/learning_checks.py                 # default new-family sweep
+    python benchmarks/learning_checks.py MiniGrid-LockedRoom-v0=2000000 ...
+
+Each positional arg is ``env_id[=total_timesteps]`` (default 1M steps).
+Runs execute sequentially in ONE process — on the tunneled TPU, rapid
+sequential client processes can wedge the tunnel (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+DEFAULT = (
+    "MiniGrid-LockedRoom-v0=2000000",
+    "MiniGrid-MemoryS7-v0",
+    "MiniGrid-MemoryS13-v0",
+    "MiniGrid-GoToDoor-5x5-v0",
+    "MiniGrid-Fetch-5x5-N2-v0",
+    "MiniGrid-GoToObject-6x6-N2-v0",
+    "MiniGrid-PutNear-6x6-N2-v0",
+    "MiniGrid-ObstructedMaze-2Dl-v0",
+)
+
+
+def main() -> None:
+    from clip_ppo_tpu.cli import ppo_minigrid
+
+    specs = sys.argv[1:] or list(DEFAULT)
+    for spec in specs:
+        env_id, _, steps = spec.partition("=")
+        steps = int(steps or 1_000_000)
+        t0 = time.time()
+        run_name = f"lcheck_{env_id}_{int(t0)}"
+        out = ppo_minigrid.train(
+            ppo_minigrid.Args(
+                env_id=env_id, seed=0, total_timesteps=steps,
+                capture_video=False, save_model=False,
+            ),
+            run_name=run_name,
+        )
+        # Full per-episode history from the run's TB events (train()'s
+        # recent_returns is only the last-100 tail).
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+        ea = EventAccumulator(f"runs/{run_name}")
+        ea.Reload()
+        ret = [e.value for e in ea.Scalars("charts/episodic_return")]
+        k = min(200, max(len(ret) // 2, 1))
+        line = {
+            "metric": "learning_check", "env_id": env_id, "steps": steps,
+            "sps": round(out["sps"], 1),
+            "wall_s": round(time.time() - t0, 1),
+            "episodes": len(ret),
+            "first_mean": round(sum(ret[:k]) / max(len(ret[:k]), 1), 3),
+            "last_mean": round(sum(ret[-k:]) / max(len(ret[-k:]), 1), 3),
+            "max_return": round(max(ret, default=0.0), 3),
+        }
+        print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

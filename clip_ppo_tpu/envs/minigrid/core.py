@@ -67,7 +67,9 @@ class EnvParams:
 
     kind: str  # "empty" | "doorkey" | "fourrooms" | "lavagap" | "multiroom"
     #            | "crossing" | "unlock" | "dynobs" | "distshift" | "redblue"
-    #            | "gotodoor" | "fetch" | "gotoobject" | "putnear"
+    #            | "keycorridor" | "lockedroom" | "memory" | "obstructedfull"
+    #            | "playground" | "gotodoor" | "fetch" | "gotoobject"
+    #            | "putnear"
     width: int
     height: int
     max_steps: int

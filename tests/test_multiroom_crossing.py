@@ -66,10 +66,10 @@ def test_parse_crossing_ids():
 
 
 def test_parse_unknown_id_lists_families():
-    # (ObstructedMaze-1Dl was this test's unknown example until the
-    # family landed — see test_unlock.py for its coverage.)
+    # (ObstructedMaze-1Dl, then GoToDoor, were this test's unknown
+    # examples until those families landed — hence the made-up id.)
     with pytest.raises(ValueError, match="MultiRoom.*Crossing"):
-        mg.parse_env_id("MiniGrid-GoToDoor-5x5-v0")
+        mg.parse_env_id("MiniGrid-GoToNowhere-5x5-v0")
     with pytest.raises(ValueError, match="unsupported"):
         mg.parse_env_id("CartPole-v1")
 

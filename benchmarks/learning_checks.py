@@ -55,7 +55,11 @@ def main() -> None:
         from tensorboard.backend.event_processing.event_accumulator import (
             EventAccumulator,
         )
-        ea = EventAccumulator(f"runs/{run_name}")
+        # size_guidance 0: keep EVERY episode scalar — the default
+        # reservoir-downsamples to 10k points, which would silently turn
+        # first-k means into a sample of early training on long runs.
+        ea = EventAccumulator(f"runs/{run_name}",
+                              size_guidance={"scalars": 0})
         ea.Reload()
         ret = [e.value for e in ea.Scalars("charts/episodic_return")]
         k = min(200, max(len(ret) // 2, 1))

@@ -150,7 +150,8 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``DoorKey-NxN``, ``FourRooms``, ``LavaGapSn``, ``MultiRoom-Nn[-Ss]``,
     ``SimpleCrossingSsNn``, ``LavaCrossingSsNn``, ``Unlock``,
     ``UnlockPickup``, ``BlockedUnlockPickup``,
-    ``ObstructedMaze-1Dl{,h,hb}``, ``KeyCorridorSsRr``,
+    ``ObstructedMaze-1Dl{,h,hb}``, ``ObstructedMaze-2Dl{,h,hb}``,
+    ``ObstructedMaze-{1Q,2Q,Full}``, ``Playground``, ``KeyCorridorSsRr``,
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``,
     ``RedBlueDoors-NxN``, ``LockedRoom``, ``MemoryS{n}[Random]``, and the
     mission-conditioned quartet ``GoToDoor-NxN``, ``Fetch-NxN-Nk``,
@@ -1258,7 +1259,9 @@ def _reset_obstructedfull(params: EnvParams, key: jax.Array) -> EnvState:
 
 def _reset_playground(params: EnvParams, key: jax.Array) -> EnvState:
     """PlaygroundEnv: 19×19, 3×3 rooms of 6×6 (walls at x,y ∈ {6, 12}),
-    one CLOSED random-color door per internal wall segment (12 doors),
+    one CLOSED random-color door per internal wall segment (12 doors;
+    door row/column uniform over the five interior offsets — upstream's
+    exclusive-high ``_rand_int(yT + 1, yB)`` with the 6-cell room pitch),
     random agent start anywhere, then 12 random objects (uniform
     key/ball/box × uniform color) on free cells. No goal, no reward
     (upstream minigrid/envs/playground.py _gen_grid — reconstructed)."""

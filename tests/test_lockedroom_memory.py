@@ -71,9 +71,9 @@ def test_lockedroom_structure():
         locked_room = ((0 if lx == 7 else 1), (ly - 3) // 6)
         assert room_of(gx, gy) == locked_room, "goal inside the locked room"
         assert room_of(kx, ky) != locked_room, "key in a different room"
-        # agent in the hallway
+        # agent on a free hallway cell (strictly between the room walls)
         ax, ay = map(int, np.asarray(st.agent_pos))
-        assert 7 < ax < 11 or (ax in (8, 9, 10))
+        assert 7 < ax < 11 and 0 < ay < 18
         assert obj[ax, ay] == mg.EMPTY
 
 

@@ -1,6 +1,7 @@
 """Property-based invariants (hypothesis) for envs and the tokenizer."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 import jax
@@ -39,6 +40,46 @@ def test_minigrid_invariants(seed, actions):
         carrying_key = int(np.asarray(s.carrying)[0]) == mg.KEY
         assert keys_on_grid + int(carrying_key) == 1
         assert int((g[..., 0] == mg.DOOR).sum()) == 1
+        if float(r) != 0.0:
+            assert bool(term)
+        assert int(s.step_count) == prev_count + 1
+        prev_count = int(s.step_count)
+        if bool(term) or bool(trunc):
+            break
+
+
+_FUZZ_IDS = (
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MemoryS13-v0",
+    "MiniGrid-ObstructedMaze-Full-v0",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-PutNear-6x6-N2-v0",
+    "MiniGrid-KeyCorridorS3R2-v0",
+)
+
+
+@pytest.mark.parametrize("env_id", _FUZZ_IDS)
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    actions=st.lists(st.integers(0, mg.NUM_ACTIONS - 1), min_size=1,
+                     max_size=40),
+)
+def test_family_invariants(env_id, seed, actions):
+    """Family-generic invariants under arbitrary action sequences: agent
+    in bounds, border stays wall, step_count increments, reward ∈ [0, 1]
+    and only on termination."""
+    params = mg.parse_env_id(env_id)
+    s = _RESET(params, jax.random.PRNGKey(seed))
+    prev_count = 0
+    for a in actions:
+        s, r, term, trunc = _STEP(params, s, jnp.int32(a))
+        x, y = np.asarray(s.agent_pos)
+        assert 0 < x < params.width - 1 and 0 < y < params.height - 1
+        g = np.asarray(s.grid)
+        assert (g[0, :, 0] == mg.WALL).all() and (g[-1, :, 0] == mg.WALL).all()
+        assert (g[:, 0, 0] == mg.WALL).all() and (g[:, -1, 0] == mg.WALL).all()
+        assert 0.0 <= float(r) <= 1.0
         if float(r) != 0.0:
             assert bool(term)
         assert int(s.step_count) == prev_count + 1

@@ -82,16 +82,17 @@ def main() -> None:
     proc_id = int(sys.argv[1])
     port = sys.argv[2]
     mode = sys.argv[3] if len(sys.argv) > 3 else "update"
+    nprocs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     from clip_ppo_tpu.parallel.distributed import (
         global_mesh,
         initialize_distributed,
     )
 
-    assert initialize_distributed(f"127.0.0.1:{port}", 2, proc_id)
-    assert jax.process_count() == 2, jax.process_count()
+    assert initialize_distributed(f"127.0.0.1:{port}", nprocs, proc_id)
+    assert jax.process_count() == nprocs, jax.process_count()
     mesh = global_mesh()
-    assert mesh.shape["dp"] == 2 and mesh.shape["tp"] == 1, dict(mesh.shape)
+    assert mesh.shape["dp"] == nprocs and mesh.shape["tp"] == 1, dict(mesh.shape)
 
     if mode == "trainer":
         main_trainer(mesh)
@@ -111,10 +112,10 @@ def main() -> None:
     optimizer = ppo_mod.make_optimizer(cfg)
     opt_state = optimizer.init(params)
 
-    # Identical synthetic global batch on both processes, laid out onto the
+    # Identical synthetic global batch on every process, laid out onto the
     # global mesh shard-by-shard (each process materializes only its block).
     rng = np.random.default_rng(0)
-    gb = 2 * cfg.batch_size
+    gb = nprocs * cfg.batch_size
     full = {
         "obs": rng.integers(0, 255, (gb, 84, 84, 3), dtype=np.uint8),
         "actions": rng.integers(0, 7, (gb,), dtype=np.int32),

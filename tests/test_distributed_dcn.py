@@ -27,19 +27,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(mode: str):
+def _run_workers(mode: str, nprocs: int = 2):
     port = _free_port()
     env = dict(os.environ)
-    # each worker gets exactly one CPU device → a 2-device global mesh
+    # each worker gets exactly one CPU device → an nprocs-device global mesh
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(port), mode],
+            [sys.executable, WORKER, str(i), str(port), mode, str(nprocs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=REPO, env=env, text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -58,15 +58,22 @@ def _run_workers(mode: str):
         assert m, f"no digest line in:\n{out}"
         parsed.append(m.groups())
 
-    (d0, i0, pg0), (d1, i1, pg1) = parsed
-    assert d0 == d1, "updated params diverged across processes"
-    assert i0 == i1, "initial params differ (seeding bug)"
+    d0, i0, pg0 = parsed[0]
+    for d, i, pg in parsed[1:]:
+        assert d == d0, "updated params diverged across processes"
+        assert i == i0, "initial params differ (seeding bug)"
+        assert pg == pg0
     assert d0 != i0, "update was a no-op"
-    assert pg0 == pg1
 
 
 def test_two_process_dcn_update():
     _run_workers("update")
+
+
+def test_four_process_dcn_update():
+    """Same psum'd update over a 4-process mesh — the collective path is
+    size-generic, pinned here beyond the minimal pair."""
+    _run_workers("update", nprocs=4)
 
 
 def test_two_process_distributed_cli(tmp_path):

@@ -183,3 +183,15 @@ def test_describe_rollout_format():
         "agent at (1,1) facing right, objects: wall at (0,0), "
         "wall at (0,1), wall at (0,2)"
     )
+
+
+def test_text_modality_on_new_family(tmp_path, tiny_clip_loader):
+    """Text-modality CLIP-PPO on a round-3 family (MemoryS7): the
+    symbolic descriptions, the table constancy guard, and the training
+    loop are family-generic — pinned end-to-end through the CLI.
+    (MemoryS7 keeps the precomputed table small: 7·7·4 descriptions.)"""
+    args = _args(tmp_path, env_id="MiniGrid-MemoryS7-v0",
+                 clip={"clip_lambda": 1e-5, "clip_modality": "text"})
+    out = _run(args, tmp_path, "t_text_memory")
+    assert out["global_step"] == 64
+    assert glob.glob(str(tmp_path / "runs" / "t_text_memory" / "events*"))

@@ -194,3 +194,34 @@ def test_full_size_vitb32_roundtrip(tmp_path, monkeypatch):
     toks = jnp.zeros((2, 77), jnp.int32).at[:, 0].set(1)
     tfeats = clip_model_mod.encode_text(params, cfg, toks)
     assert tfeats.shape == (2, 512) and bool(jnp.isfinite(tfeats).all())
+
+
+def test_full_size_vitl14_roundtrip(tmp_path, monkeypatch):
+    """Same pretrained-readiness drill at the ViT-L/14 geometry: patch 14
+    (grid 16), width 1024 × 24 layers, text width 768 — detect_config
+    must recover the canonical config purely from the archive shapes and
+    both towers must run on the converted weights."""
+    import jax.numpy as jnp
+
+    from clip_ppo_tpu.models.clip import model as clip_model_mod
+    from clip_ppo_tpu.models.clip.config import CLIP_CONFIGS
+    from clip_ppo_tpu.models.clip.synth_checkpoint import (
+        write_fake_openai_checkpoint,
+    )
+
+    path = str(tmp_path / "ViT-L-14.pt")
+    write_fake_openai_checkpoint(path, "ViT-L/14", seed=0)
+    monkeypatch.setenv("CLIP_PPO_CHECKPOINT_DIR", str(tmp_path))
+
+    params, cfg = load_clip_model("ViT-L/14", pretrained=True)
+    assert cfg == CLIP_CONFIGS["ViT-L/14"], "detect_config must recover ViT-L/14"
+    assert params["visual"]["patch_embed_w"].shape == (14 * 14 * 3, 1024)
+    assert len(params["visual"]["transformer"]["resblocks"]) == 24
+    assert params["text"]["text_projection"].shape == (768, 768)
+
+    img = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    feats = clip_model_mod.encode_image(params, cfg, img)
+    assert feats.shape == (1, 768) and bool(jnp.isfinite(feats).all())
+    toks = jnp.zeros((1, 77), jnp.int32).at[:, 0].set(1)
+    tfeats = clip_model_mod.encode_text(params, cfg, toks)
+    assert tfeats.shape == (1, 768) and bool(jnp.isfinite(tfeats).all())

@@ -1,0 +1,91 @@
+"""Every core registered MiniGrid id parses and resets.
+
+The reference trains any registered id via gym.make
+(`ppo_minigrid.py:106-119`); this is the full list the upstream library
+registers for the families this framework implements (BabyAI and WFC
+namespaces are out of scope — they are separate env suites, not part of
+the reference's experiment surface). Each id must parse to EnvParams and
+produce a well-formed reset state.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from clip_ppo_tpu.envs.minigrid import core as mg
+
+REGISTERED = [
+    # empty.py
+    "MiniGrid-Empty-5x5-v0", "MiniGrid-Empty-Random-5x5-v0",
+    "MiniGrid-Empty-6x6-v0", "MiniGrid-Empty-Random-6x6-v0",
+    "MiniGrid-Empty-8x8-v0", "MiniGrid-Empty-16x16-v0",
+    # doorkey.py
+    "MiniGrid-DoorKey-5x5-v0", "MiniGrid-DoorKey-6x6-v0",
+    "MiniGrid-DoorKey-8x8-v0", "MiniGrid-DoorKey-16x16-v0",
+    # fourrooms.py / lavagap.py / distshift.py
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-LavaGapS5-v0", "MiniGrid-LavaGapS6-v0", "MiniGrid-LavaGapS7-v0",
+    "MiniGrid-DistShift1-v0", "MiniGrid-DistShift2-v0",
+    # multiroom.py / crossing.py
+    "MiniGrid-MultiRoom-N2-S4-v0", "MiniGrid-MultiRoom-N4-S5-v0",
+    "MiniGrid-MultiRoom-N6-v0",
+    "MiniGrid-SimpleCrossingS9N1-v0", "MiniGrid-SimpleCrossingS9N2-v0",
+    "MiniGrid-SimpleCrossingS9N3-v0", "MiniGrid-SimpleCrossingS11N5-v0",
+    "MiniGrid-LavaCrossingS9N1-v0", "MiniGrid-LavaCrossingS9N2-v0",
+    "MiniGrid-LavaCrossingS9N3-v0", "MiniGrid-LavaCrossingS11N5-v0",
+    # dynamicobstacles.py
+    "MiniGrid-Dynamic-Obstacles-5x5-v0",
+    "MiniGrid-Dynamic-Obstacles-Random-5x5-v0",
+    "MiniGrid-Dynamic-Obstacles-6x6-v0",
+    "MiniGrid-Dynamic-Obstacles-Random-6x6-v0",
+    "MiniGrid-Dynamic-Obstacles-8x8-v0",
+    "MiniGrid-Dynamic-Obstacles-16x16-v0",
+    # unlock / unlockpickup / blockedunlockpickup
+    "MiniGrid-Unlock-v0", "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    # keycorridor.py
+    "MiniGrid-KeyCorridorS3R1-v0", "MiniGrid-KeyCorridorS3R2-v0",
+    "MiniGrid-KeyCorridorS3R3-v0", "MiniGrid-KeyCorridorS4R3-v0",
+    "MiniGrid-KeyCorridorS5R3-v0", "MiniGrid-KeyCorridorS6R3-v0",
+    # obstructedmaze.py (incl. the -v1 bugfix registrations)
+    "MiniGrid-ObstructedMaze-1Dl-v0", "MiniGrid-ObstructedMaze-1Dlh-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0", "MiniGrid-ObstructedMaze-1Dlhb-v1",
+    "MiniGrid-ObstructedMaze-2Dl-v0", "MiniGrid-ObstructedMaze-2Dlh-v0",
+    "MiniGrid-ObstructedMaze-2Dlhb-v0", "MiniGrid-ObstructedMaze-2Dlhb-v1",
+    "MiniGrid-ObstructedMaze-1Q-v0", "MiniGrid-ObstructedMaze-1Q-v1",
+    "MiniGrid-ObstructedMaze-2Q-v0", "MiniGrid-ObstructedMaze-2Q-v1",
+    "MiniGrid-ObstructedMaze-Full-v0", "MiniGrid-ObstructedMaze-Full-v1",
+    # lockedroom.py / memory.py / playground.py
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MemoryS7-v0", "MiniGrid-MemoryS9-v0", "MiniGrid-MemoryS11-v0",
+    "MiniGrid-MemoryS13-v0", "MiniGrid-MemoryS13Random-v0",
+    "MiniGrid-MemoryS17Random-v0",
+    "MiniGrid-Playground-v0",
+    # redbluedoors.py
+    "MiniGrid-RedBlueDoors-6x6-v0", "MiniGrid-RedBlueDoors-8x8-v0",
+    # mission-conditioned quartet
+    "MiniGrid-GoToDoor-5x5-v0", "MiniGrid-GoToDoor-6x6-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-Fetch-5x5-N2-v0", "MiniGrid-Fetch-6x6-N2-v0",
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToObject-6x6-N2-v0", "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-PutNear-6x6-N2-v0", "MiniGrid-PutNear-8x8-N3-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", REGISTERED)
+def test_registered_id_parses_and_resets(env_id):
+    params = mg.parse_env_id(env_id)
+    st = mg.reset(params, jax.random.PRNGKey(0))
+    g = np.asarray(st.grid)
+    assert g.shape == (params.width, params.height, 3)
+    # well-formed: an impassable perimeter (wall, or a border door in
+    # GoToDoor; MultiRoom leaves out-of-room border cells EMPTY but walls
+    # every room), and the agent on a free in-bounds cell
+    border = np.concatenate([g[0, :, 0], g[-1, :, 0], g[:, 0, 0], g[:, -1, 0]])
+    assert np.isin(border, (mg.WALL, mg.DOOR, mg.EMPTY)).all()
+    x, y = map(int, np.asarray(st.agent_pos))
+    assert 0 < x < params.width - 1 and 0 < y < params.height - 1
+    assert g[x, y, 0] in (mg.EMPTY, mg.FLOOR)
+    assert int(st.step_count) == 0

@@ -69,7 +69,7 @@ class EnvParams:
     #            | "crossing" | "unlock" | "dynobs" | "distshift" | "redblue"
     #            | "keycorridor" | "lockedroom" | "memory" | "obstructedfull"
     #            | "playground" | "gotodoor" | "fetch" | "gotoobject"
-    #            | "putnear"
+    #            | "putnear" | "babyai_goto"
     width: int
     height: int
     max_steps: int
@@ -105,9 +105,12 @@ class EnvParams:
     n_obstacles: int = 0   # moving balls; forward into ANY non-goal cell
     #                        terminates with reward −1 (upstream quirk)
     num_actions: int = NUM_ACTIONS  # 3 for Dynamic-Obstacles
-    # Mission-conditioned families (Fetch/GoToObject/PutNear): number of
-    # candidate objects; the episode's target lives in EnvState.target.
+    # Mission-conditioned families (Fetch/GoToObject/PutNear/BabyAI-GoTo*):
+    # number of candidate objects; the episode's target lives in
+    # EnvState.target.
     num_objs: int = 0
+    # BabyAI GoToRedBallGrey: distractors are recolored grey.
+    grey_dists: bool = False
     # Memory S{n}Random variants: re-sample the hallway length per episode.
     random_length: bool = False
     # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
@@ -155,8 +158,10 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``,
     ``RedBlueDoors-NxN``, ``LockedRoom``, ``MemoryS{n}[Random]``, and the
     mission-conditioned quartet ``GoToDoor-NxN``, ``Fetch-NxN-Nk``,
-    ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``. Unknown ids raise with
-    the supported list.
+    ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``, plus the BabyAI GoTo tier
+    ``BabyAI-GoToRedBall{,Grey,NoDists}``, ``BabyAI-GoToObj[Ss]``,
+    ``BabyAI-GoToLocal[SsNn]``. Unknown ids raise with the supported
+    list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
     if m:
@@ -398,6 +403,47 @@ def parse_env_id(env_id: str) -> EnvParams:
         assert size == int(m.group(2)), "only square PutNear grids"
         return EnvParams("putnear", size, size, 5 * size, True,
                          success="putnear", num_objs=int(m.group(3)))
+    m = re.match(r"BabyAI-GoToRedBall(Grey|NoDists)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToRedBall{,Grey,NoDists} (upstream
+        # minigrid/envs/babyai/goto.py — reconstructed): one 8×8 room
+        # (RoomGridLevel num_rows=num_cols=1, room_size=8, max_steps =
+        # 8·room_size²); the agent is placed first, then a red ball, then
+        # 7 distractors — random key/ball/box × 6 colors with duplicates
+        # allowed (all_unique=False); the Grey variant recolors every
+        # distractor grey, NoDists places none. Layouts are
+        # rejection-sampled until no object is blocked
+        # (check_objs_reachable). Mission: GoToInstr(red ball).
+        variant = m.group(1)
+        return EnvParams(
+            "babyai_goto", 8, 8, 8 * 8 * 8, False,
+            success="babyai_goto",
+            num_objs=0 if variant == "NoDists" else 7,
+            grey_dists=variant == "Grey",
+            # ≥ 0 marks the fixed (BALL, RED) mission target.
+            target_color=RED,
+        )
+    m = re.match(r"BabyAI-GoToObj(?:S(\d+))?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToObj[S{4,6}] (upstream goto.py): one room with a
+        # single random object (uniform key/ball/box × 6 colors), mission
+        # GoToInstr on it. Upstream skips check_objs_reachable here (a
+        # lone object in an open room is never blocked); running it is
+        # distribution-identical. Registered room sizes 8 (default), 4, 6.
+        size = int(m.group(1)) if m.group(1) else 8
+        return EnvParams("babyai_goto", size, size, 8 * size * size, False,
+                         success="babyai_goto", num_objs=1)
+    m = re.match(r"BabyAI-GoToLocal(?:S(\d+)N(\d+))?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToLocal[S{s}N{n}] (upstream goto.py): one s×s room,
+        # n distractors (duplicates allowed), target drawn uniformly from
+        # them; reachability rejection-sampled. Default room_size=8,
+        # num_dists=8; registered variants S5N2, S6N{2,3,4}, S7N{4,5},
+        # S8N{2..7}.
+        size = int(m.group(1)) if m.group(1) else 8
+        n = int(m.group(2)) if m.group(2) else 8
+        return EnvParams("babyai_goto", size, size, 8 * size * size, False,
+                         success="babyai_goto", num_objs=n)
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
         raise ValueError(
@@ -414,7 +460,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-RedBlueDoors-NxN, MiniGrid-LockedRoom, "
             "MiniGrid-MemoryS{n}[Random], MiniGrid-GoToDoor-NxN, "
             "MiniGrid-Fetch-NxN-Nk, MiniGrid-GoToObject-NxN-Nk, "
-            "MiniGrid-PutNear-NxN-Nk "
+            "MiniGrid-PutNear-NxN-Nk, BabyAI-GoToRedBall{,Grey,NoDists}, "
+            "BabyAI-GoToObj[Ss], BabyAI-GoToLocal[SsNn] "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -1692,6 +1739,109 @@ def _reset_putnear(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _objs_reachable(params: EnvParams, grid: jax.Array,
+                    agent_pos: jax.Array) -> jax.Array:
+    """BabyAI's ``check_objs_reachable`` (upstream
+    minigrid/envs/babyai/core/roomgrid_level.py — reconstructed) as a
+    boolean: flood-fill from the agent over EMPTY cells (objects and
+    walls are reached but do not expand), then require every non-wall
+    object cell to be in the reached set — i.e. 4-adjacent to a filled
+    cell. Border walls are never EMPTY, so the jnp.roll wraparound can
+    never mark a cell across the edge."""
+    free = grid[..., 0] == EMPTY
+    reach = jnp.zeros((params.width, params.height), bool)
+    reach = reach.at[agent_pos[0], agent_pos[1]].set(True)
+
+    def body(_, r):
+        grown = (r | jnp.roll(r, 1, 0) | jnp.roll(r, -1, 0)
+                 | jnp.roll(r, 1, 1) | jnp.roll(r, -1, 1))
+        return grown & free
+
+    reach = jax.lax.fori_loop(0, params.width * params.height, body, reach)
+    near = (reach | jnp.roll(reach, 1, 0) | jnp.roll(reach, -1, 0)
+            | jnp.roll(reach, 1, 1) | jnp.roll(reach, -1, 1))
+    objs = (grid[..., 0] != EMPTY) & (grid[..., 0] != WALL)
+    return jnp.all(near | ~objs)
+
+
+def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI GoTo tier (upstream minigrid/envs/babyai/goto.py —
+    reconstructed): one bordered room; the agent on a random interior
+    cell first, then the objects on the remaining free cells. With
+    ``target_color >= 0`` (GoToRedBall variants) object 0 is the fixed
+    (BALL, RED) target and ``num_objs`` distractors follow — random
+    key/ball/box × 6 colors, recolored grey when ``grey_dists``;
+    otherwise (GoToObj / GoToLocal) all ``num_objs`` objects are random
+    and the target is a uniform draw among them. The whole layout is
+    rejection-sampled until ``check_objs_reachable`` passes (upstream
+    retries unboundedly; 64 attempts here keep the jitted while_loop
+    safe — at ≤9 objects in a ≥6×6 interior a blocked layout is already
+    rare, 64 in a row is astronomically so)."""
+    k_loop, k_tgt, k_next = jax.random.split(key, 3)
+    fixed_target = params.target_color >= 0
+    n_objs = params.num_objs + (1 if fixed_target else 0)
+
+    def build(k):
+        ks = jax.random.split(k, n_objs + 2)
+        grid = _base_grid(params, goal=False)
+        free = grid[..., 0] == EMPTY
+        agent_pos = _sample_free_cell(ks[0], free)
+        agent_dir = jax.random.randint(ks[1], (), 0, 4)
+        free = free.at[agent_pos[0], agent_pos[1]].set(False)
+        types = jnp.zeros(n_objs, jnp.int8)
+        colors = jnp.zeros(n_objs, jnp.int8)
+        for i in range(n_objs):
+            k_type, k_color, k_pos = jax.random.split(ks[i + 2], 3)
+            if fixed_target and i == 0:
+                obj, col = jnp.int8(BALL), jnp.int8(RED)
+            else:
+                obj = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
+                    jax.random.randint(k_type, (), 0, 3)]
+                col = (jnp.int8(GREY) if params.grey_dists
+                       else jax.random.randint(k_color, (), 0, 6)
+                       .astype(jnp.int8))
+            pos = _sample_free_cell(k_pos, free)
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([obj, col, jnp.int8(0)]))
+            types, colors = types.at[i].set(obj), colors.at[i].set(col)
+        return grid, agent_pos, agent_dir, types, colors
+
+    def attempt(k):
+        k, k_b = jax.random.split(k)
+        grid, agent_pos, agent_dir, types, colors = build(k_b)
+        ok = _objs_reachable(params, grid, agent_pos)
+        return ok, k, grid, agent_pos, agent_dir, types, colors
+
+    def cond(c):
+        ok, attempts = c[0], c[-1]
+        return (~ok) & (attempts < 64)
+
+    def body(c):
+        _, k = c[0], c[1]
+        return attempt(k)[:7] + (c[-1] + 1,)
+
+    first = attempt(k_loop) + (jnp.int32(1),)
+    (_, _, grid, agent_pos, agent_dir, types,
+     colors, _) = jax.lax.while_loop(cond, body, first)
+
+    if fixed_target:
+        target = jnp.zeros(8, jnp.int32).at[0].set(BALL).at[1].set(RED)
+    else:
+        t = jax.random.randint(k_tgt, (), 0, n_objs)
+        target = jnp.zeros(8, jnp.int32).at[0].set(
+            types[t].astype(jnp.int32)).at[1].set(colors[t].astype(jnp.int32))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -1730,6 +1880,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_fetch(params, key)
     if params.kind == "gotoobject":
         return _reset_gotoobject(params, key)
+    if params.kind == "babyai_goto":
+        return _reset_babyai_goto(params, key)
     if params.kind == "putnear":
         return _reset_putnear(params, key)
     raise ValueError(params.kind)
@@ -2003,6 +2155,31 @@ def step(
         terminated = terminated | on_success | on_failure
         reward = jnp.where(on_success, time_reward,
                            jnp.where(on_failure, 0.0, reward))
+    elif params.success == "babyai_goto":
+        # BabyAI GoToInstr (upstream
+        # minigrid/envs/babyai/core/verifier.py GoToInstr.verify_action,
+        # called from RoomGridLevel.step on EVERY action — reconstructed):
+        # success iff the agent's post-transition front cell holds an
+        # object matching the mission (type, color); any matching
+        # duplicate counts (ObjDesc matches all). The verifier's position
+        # list is grid-refreshed at reset and on drop, and a pickup
+        # leaves the stale entry in it — so picking a matching object up
+        # (only possible when the reset state already faces it, since
+        # merely facing it would have ended the episode a step earlier)
+        # also succeeds; a matching object dropped in front succeeds via
+        # the refreshed grid. No failure status exists for GoTo missions.
+        new_fwd = new_pos + dir_vec[new_dir]
+        nfx = jnp.clip(new_fwd[0], 0, params.width - 1)
+        nfy = jnp.clip(new_fwd[1], 0, params.height - 1)
+        ncell = grid[nfx, nfy]
+        matches_front = (ncell[0].astype(jnp.int32) == state.target[0]) & (
+            ncell[1].astype(jnp.int32) == state.target[1])
+        picked_match = does_pickup & (
+            fobj.astype(jnp.int32) == state.target[0]) & (
+            fcol.astype(jnp.int32) == state.target[1])
+        succ = matches_front | picked_match
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
     elif params.success == "putnear":
         # PutNear semantics (upstream putnear.py step — reconstructed):
         # a pickup that leaves the agent carrying anything but the move

@@ -2,10 +2,10 @@
 
 The reference trains any registered id via gym.make
 (`ppo_minigrid.py:106-119`); this is the full list the upstream library
-registers for the families this framework implements (BabyAI and WFC
-namespaces are out of scope — they are separate env suites, not part of
-the reference's experiment surface). Each id must parse to EnvParams and
-produce a well-formed reset state.
+registers for the families this framework implements, plus the BabyAI
+GoTo tier (the rest of the BabyAI namespace and WFC are out of scope —
+separate env suites, not part of the reference's experiment surface).
+Each id must parse to EnvParams and produce a well-formed reset state.
 """
 
 import numpy as np
@@ -71,6 +71,18 @@ REGISTERED = [
     "MiniGrid-Fetch-8x8-N3-v0",
     "MiniGrid-GoToObject-6x6-N2-v0", "MiniGrid-GoToObject-8x8-N2-v0",
     "MiniGrid-PutNear-6x6-N2-v0", "MiniGrid-PutNear-8x8-N3-v0",
+    # babyai/goto.py (the implemented BabyAI GoTo tier; the rest of the
+    # BabyAI namespace remains out of scope)
+    "BabyAI-GoToRedBallGrey-v0", "BabyAI-GoToRedBall-v0",
+    "BabyAI-GoToRedBallNoDists-v0",
+    "BabyAI-GoToObjS4-v0", "BabyAI-GoToObjS6-v0", "BabyAI-GoToObj-v0",
+    "BabyAI-GoToLocalS5N2-v0", "BabyAI-GoToLocalS6N2-v0",
+    "BabyAI-GoToLocalS6N3-v0", "BabyAI-GoToLocalS6N4-v0",
+    "BabyAI-GoToLocalS7N4-v0", "BabyAI-GoToLocalS7N5-v0",
+    "BabyAI-GoToLocalS8N2-v0", "BabyAI-GoToLocalS8N3-v0",
+    "BabyAI-GoToLocalS8N4-v0", "BabyAI-GoToLocalS8N5-v0",
+    "BabyAI-GoToLocalS8N6-v0", "BabyAI-GoToLocalS8N7-v0",
+    "BabyAI-GoToLocal-v0",
 ]
 
 

@@ -111,6 +111,10 @@ class EnvParams:
     num_objs: int = 0
     # BabyAI GoToRedBallGrey: distractors are recolored grey.
     grey_dists: bool = False
+    # BabyAI PickupDistDebug: a pickup action that leaves the agent
+    # carrying a non-matching object fails the episode (PickupInstr
+    # strict=True).
+    strict: bool = False
     # Memory S{n}Random variants: re-sample the hallway length per episode.
     random_length: bool = False
     # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
@@ -158,10 +162,11 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``Dynamic-Obstacles[-Random]-NxN``, ``DistShift{1,2}``,
     ``RedBlueDoors-NxN``, ``LockedRoom``, ``MemoryS{n}[Random]``, and the
     mission-conditioned quartet ``GoToDoor-NxN``, ``Fetch-NxN-Nk``,
-    ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``, plus the BabyAI GoTo tier
-    ``BabyAI-GoToRedBall{,Grey,NoDists}``, ``BabyAI-GoToObj[Ss]``,
-    ``BabyAI-GoToLocal[SsNn]``. Unknown ids raise with the supported
-    list.
+    ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``, plus the single-room
+    BabyAI tier ``BabyAI-GoToRedBall{,Grey,NoDists}``,
+    ``BabyAI-GoToObj[Ss]``, ``BabyAI-GoToLocal[SsNn]``,
+    ``BabyAI-PutNextLocal[SsNn]``, ``BabyAI-PickupDist[Debug]``.
+    Unknown ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
     if m:
@@ -444,6 +449,27 @@ def parse_env_id(env_id: str) -> EnvParams:
         n = int(m.group(2)) if m.group(2) else 8
         return EnvParams("babyai_goto", size, size, 8 * size * size, False,
                          success="babyai_goto", num_objs=n)
+    m = re.match(r"BabyAI-PutNextLocal(?:S(\d+)N(\d+))?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI PutNextLocal[SsNn] (upstream
+        # minigrid/envs/babyai/putnext.py): one s×s room, n DISTINCT
+        # objects, mission "put A next to B" for an ordered random pair;
+        # success on a drop action once A sits cardinally adjacent to B.
+        # Default room_size=8, num_objs=8; registered S5N3, S6N4.
+        size = int(m.group(1)) if m.group(1) else 8
+        n = int(m.group(2)) if m.group(2) else 8
+        return EnvParams("babyai_putnext", size, size, 8 * size * size,
+                         False, success="babyai_putnext", num_objs=n)
+    m = re.match(r"BabyAI-PickupDist(Debug)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI PickupDist[Debug] (upstream
+        # minigrid/envs/babyai/pickup.py): one 7×7 room, 5 distinct
+        # objects, mission restricted to type/color/both; Debug = strict
+        # PickupInstr (wrong pickup fails). No reachability check
+        # upstream for this level.
+        return EnvParams("babyai_pickup", 7, 7, 8 * 7 * 7, False,
+                         success="babyai_pickup", num_objs=5,
+                         strict=m.group(1) is not None)
     m = re.match(r"MiniGrid-(Empty|DoorKey)(-Random)?-(\d+)x(\d+)(-v\d+)?$", env_id)
     if not m:
         raise ValueError(
@@ -461,7 +487,8 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-MemoryS{n}[Random], MiniGrid-GoToDoor-NxN, "
             "MiniGrid-Fetch-NxN-Nk, MiniGrid-GoToObject-NxN-Nk, "
             "MiniGrid-PutNear-NxN-Nk, BabyAI-GoToRedBall{,Grey,NoDists}, "
-            "BabyAI-GoToObj[Ss], BabyAI-GoToLocal[SsNn] "
+            "BabyAI-GoToObj[Ss], BabyAI-GoToLocal[SsNn], "
+            "BabyAI-PutNextLocal[SsNn], BabyAI-PickupDist[Debug] "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -1764,48 +1791,38 @@ def _objs_reachable(params: EnvParams, grid: jax.Array,
     return jnp.all(near | ~objs)
 
 
-def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
-    """BabyAI GoTo tier (upstream minigrid/envs/babyai/goto.py —
-    reconstructed): one bordered room; the agent on a random interior
-    cell first, then the objects on the remaining free cells. With
-    ``target_color >= 0`` (GoToRedBall variants) object 0 is the fixed
-    (BALL, RED) target and ``num_objs`` distractors follow — random
-    key/ball/box × 6 colors, recolored grey when ``grey_dists``;
-    otherwise (GoToObj / GoToLocal) all ``num_objs`` objects are random
-    and the target is a uniform draw among them. The whole layout is
-    rejection-sampled until ``check_objs_reachable`` passes (upstream
-    retries unboundedly; 64 attempts here keep the jitted while_loop
-    safe — at ≤9 objects in a ≥6×6 interior a blocked layout is already
-    rare, 64 in a row is astronomically so)."""
-    k_loop, k_tgt, k_next = jax.random.split(key, 3)
-    fixed_target = params.target_color >= 0
-    n_objs = params.num_objs + (1 if fixed_target else 0)
+def _babyai_room(params: EnvParams, key: jax.Array, sample_objs,
+                 check_reachable: bool = True):
+    """Shared BabyAI single-room generator: the agent on a random
+    interior cell, then the sampled objects on the remaining free cells
+    (upstream orders agent/objects differently per level; sequential
+    uniform sampling without replacement is exchangeable, so the joint
+    layout distribution is identical). With ``check_reachable`` the
+    whole layout is rejection-sampled until ``check_objs_reachable``
+    passes — upstream retries unboundedly; 64 attempts keep the jitted
+    while_loop safe (at ≤9 objects in a ≥5×5 interior a blocked layout
+    is already rare, 64 in a row is astronomically so).
+
+    ``sample_objs(key) -> (types, colors)`` int8 arrays of static
+    length. Returns (grid, agent_pos, agent_dir, types, colors)."""
 
     def build(k):
-        ks = jax.random.split(k, n_objs + 2)
+        k_obj, k_agent, k_dir, k_place = jax.random.split(k, 4)
+        types, colors = sample_objs(k_obj)
         grid = _base_grid(params, goal=False)
         free = grid[..., 0] == EMPTY
-        agent_pos = _sample_free_cell(ks[0], free)
-        agent_dir = jax.random.randint(ks[1], (), 0, 4)
+        agent_pos = _sample_free_cell(k_agent, free)
+        agent_dir = jax.random.randint(k_dir, (), 0, 4)
         free = free.at[agent_pos[0], agent_pos[1]].set(False)
-        types = jnp.zeros(n_objs, jnp.int8)
-        colors = jnp.zeros(n_objs, jnp.int8)
-        for i in range(n_objs):
-            k_type, k_color, k_pos = jax.random.split(ks[i + 2], 3)
-            if fixed_target and i == 0:
-                obj, col = jnp.int8(BALL), jnp.int8(RED)
-            else:
-                obj = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
-                    jax.random.randint(k_type, (), 0, 3)]
-                col = (jnp.int8(GREY) if params.grey_dists
-                       else jax.random.randint(k_color, (), 0, 6)
-                       .astype(jnp.int8))
-            pos = _sample_free_cell(k_pos, free)
+        for i, kp in enumerate(jax.random.split(k_place, types.shape[0])):
+            pos = _sample_free_cell(kp, free)
             free = free.at[pos[0], pos[1]].set(False)
             grid = grid.at[pos[0], pos[1]].set(
-                jnp.stack([obj, col, jnp.int8(0)]))
-            types, colors = types.at[i].set(obj), colors.at[i].set(col)
+                jnp.stack([types[i], colors[i], jnp.int8(0)]))
         return grid, agent_pos, agent_dir, types, colors
+
+    if not check_reachable:
+        return build(key)
 
     def attempt(k):
         k, k_b = jax.random.split(k)
@@ -1818,12 +1835,39 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
         return (~ok) & (attempts < 64)
 
     def body(c):
-        _, k = c[0], c[1]
-        return attempt(k)[:7] + (c[-1] + 1,)
+        return attempt(c[1])[:7] + (c[-1] + 1,)
 
-    first = attempt(k_loop) + (jnp.int32(1),)
-    (_, _, grid, agent_pos, agent_dir, types,
-     colors, _) = jax.lax.while_loop(cond, body, first)
+    first = attempt(key) + (jnp.int32(1),)
+    out = jax.lax.while_loop(cond, body, first)
+    return out[2:7]
+
+
+def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI GoTo tier (upstream minigrid/envs/babyai/goto.py —
+    reconstructed): one bordered room via `_babyai_room`. With
+    ``target_color >= 0`` (GoToRedBall variants) object 0 is the fixed
+    (BALL, RED) target and ``num_objs`` distractors follow — random
+    key/ball/box × 6 colors, recolored grey when ``grey_dists``;
+    otherwise (GoToObj / GoToLocal) all ``num_objs`` objects are random
+    and the target is a uniform draw among them."""
+    k_room, k_tgt, k_next = jax.random.split(key, 3)
+    fixed_target = params.target_color >= 0
+    n_objs = params.num_objs + (1 if fixed_target else 0)
+
+    def sample_objs(k):
+        k_type, k_color = jax.random.split(k)
+        types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
+            jax.random.randint(k_type, (n_objs,), 0, 3)]
+        colors = (jnp.full((n_objs,), GREY, jnp.int8) if params.grey_dists
+                  else jax.random.randint(k_color, (n_objs,), 0, 6)
+                  .astype(jnp.int8))
+        if fixed_target:
+            types = types.at[0].set(BALL)
+            colors = colors.at[0].set(RED)
+        return types, colors
+
+    grid, agent_pos, agent_dir, types, colors = _babyai_room(
+        params, k_room, sample_objs)
 
     if fixed_target:
         target = jnp.zeros(8, jnp.int32).at[0].set(BALL).at[1].set(RED)
@@ -1831,6 +1875,72 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
         t = jax.random.randint(k_tgt, (), 0, n_objs)
         target = jnp.zeros(8, jnp.int32).at[0].set(
             types[t].astype(jnp.int32)).at[1].set(colors[t].astype(jnp.int32))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_babyai_putnext(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI PutNextLocal (upstream minigrid/envs/babyai/putnext.py —
+    reconstructed): one room, ``num_objs`` DISTINCT (type, color)
+    objects (add_distractors all_unique=True), reachability
+    rejection-sampled; the mission picks an ordered pair of distinct
+    objects (_rand_subset(objs, 2)) — put the first next to the
+    second. Target layout: [move_type, move_color, fixed_type,
+    fixed_color, 0...]."""
+    k_room, k_mv, k_tgt, k_next = jax.random.split(key, 4)
+    n = params.num_objs
+
+    grid, agent_pos, agent_dir, types, colors = _babyai_room(
+        params, k_room, lambda k: _distinct_objects(k, n))
+
+    mv = jax.random.randint(k_mv, (), 0, n)
+    t0 = jax.random.randint(k_tgt, (), 0, n - 1)
+    tg = t0 + (t0 >= mv)
+    target = (jnp.zeros(8, jnp.int32)
+              .at[0].set(types[mv].astype(jnp.int32))
+              .at[1].set(colors[mv].astype(jnp.int32))
+              .at[2].set(types[tg].astype(jnp.int32))
+              .at[3].set(colors[tg].astype(jnp.int32)))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_babyai_pickup(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI PickupDist[Debug] (upstream
+    minigrid/envs/babyai/pickup.py — reconstructed): one 7×7 room with
+    5 DISTINCT (type, color) objects and NO reachability check
+    (gen_mission never calls check_objs_reachable here); the mission
+    picks one object and then restricts the description uniformly to
+    its type only, its color only, or both — wildcards are −1 in the
+    target layout [type|−1, color|−1, 0...]."""
+    k_room, k_t, k_sel, k_next = jax.random.split(key, 4)
+    n = params.num_objs
+
+    grid, agent_pos, agent_dir, types, colors = _babyai_room(
+        params, k_room, lambda k: _distinct_objects(k, n),
+        check_reachable=False)
+
+    t = jax.random.randint(k_t, (), 0, n)
+    # select_by ∈ {type, color, both} uniform (pickup.py gen_mission)
+    sel = jax.random.randint(k_sel, (), 0, 3)
+    target = (jnp.zeros(8, jnp.int32)
+              .at[0].set(jnp.where(sel == 1, -1, types[t].astype(jnp.int32)))
+              .at[1].set(jnp.where(sel == 0, -1,
+                                   colors[t].astype(jnp.int32))))
     return EnvState(
         grid=grid,
         agent_pos=agent_pos,
@@ -1882,6 +1992,10 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_gotoobject(params, key)
     if params.kind == "babyai_goto":
         return _reset_babyai_goto(params, key)
+    if params.kind == "babyai_putnext":
+        return _reset_babyai_putnext(params, key)
+    if params.kind == "babyai_pickup":
+        return _reset_babyai_pickup(params, key)
     if params.kind == "putnear":
         return _reset_putnear(params, key)
     raise ValueError(params.kind)
@@ -2180,6 +2294,43 @@ def step(
         succ = matches_front | picked_match
         terminated = terminated | succ
         reward = jnp.where(succ, time_reward, reward)
+    elif params.success == "babyai_putnext":
+        # BabyAI PutNextInstr (upstream verifier.py — reconstructed):
+        # verified only on a drop ACTION (successful or not — upstream
+        # checks the action, not the drop's effect); success iff some
+        # grid object matching the move description is cardinally
+        # adjacent to one matching the fixed description (pos_next_to,
+        # d < 2). A still-carried move object sits at cur_pos (−1, −1)
+        # upstream and cannot match — the grid-mask check reproduces
+        # that for free. Objects never sit on the border, so the
+        # jnp.roll wraparound is harmless.
+        is_a = (grid[..., 0].astype(jnp.int32) == state.target[0]) & (
+            grid[..., 1].astype(jnp.int32) == state.target[1])
+        is_b = (grid[..., 0].astype(jnp.int32) == state.target[2]) & (
+            grid[..., 1].astype(jnp.int32) == state.target[3])
+        near_b = (jnp.roll(is_b, 1, 0) | jnp.roll(is_b, -1, 0)
+                  | jnp.roll(is_b, 1, 1) | jnp.roll(is_b, -1, 1))
+        succ = (action == A_DROP) & jnp.any(is_a & near_b)
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
+    elif params.success == "babyai_pickup":
+        # BabyAI PickupInstr (upstream verifier.py — reconstructed):
+        # verified only on a pickup ACTION; success iff the agent is
+        # then carrying an object matching the (possibly wildcarded:
+        # −1) type/color. strict (PickupDistDebug) additionally FAILS
+        # the episode when a pickup action leaves it carrying anything
+        # non-matching.
+        match = (carrying[0] != 0) & (
+            (state.target[0] < 0)
+            | (carrying[0].astype(jnp.int32) == state.target[0])) & (
+            (state.target[1] < 0)
+            | (carrying[1].astype(jnp.int32) == state.target[1]))
+        succ = (action == A_PICKUP) & match
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
+        if params.strict:
+            fail = (action == A_PICKUP) & (carrying[0] != 0) & ~match
+            terminated = terminated | fail
     elif params.success == "putnear":
         # PutNear semantics (upstream putnear.py step — reconstructed):
         # a pickup that leaves the agent carrying anything but the move

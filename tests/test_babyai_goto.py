@@ -1,14 +1,16 @@
-"""BabyAI GoTo tier: GoToRedBall{,Grey,NoDists}, GoToObj[Ss],
-GoToLocal[SsNn] — layout invariants, the check_objs_reachable rejection
-rule, and GoToInstr success semantics (the reference trains any
-registered id via gym.make, `ppo_minigrid.py:106-119`; the minigrid
-package registers the BabyAI namespace alongside the MiniGrid one).
+"""The single-room BabyAI tier: GoToRedBall{,Grey,NoDists}, GoToObj[Ss],
+GoToLocal[SsNn], PutNextLocal[SsNn], PickupDist[Debug] — layout
+invariants, the check_objs_reachable rejection rule, and
+GoToInstr/PutNextInstr/PickupInstr success semantics (the reference
+trains any registered id via gym.make, `ppo_minigrid.py:106-119`; the
+minigrid package registers the BabyAI namespace alongside the MiniGrid
+one).
 
 Upstream minigrid is not installed in this image, so parity is
 structural against the upstream generators
-(minigrid/envs/babyai/goto.py, core/roomgrid_level.py, core/verifier.py
-— reconstructed): generator invariants over seeds plus scripted
-episodes for every terminal rule.
+(minigrid/envs/babyai/{goto,putnext,pickup}.py, core/roomgrid_level.py,
+core/verifier.py — reconstructed): generator invariants over seeds plus
+scripted episodes for every terminal rule.
 """
 
 import dataclasses
@@ -90,7 +92,7 @@ def test_parse_babyai_ids():
     p = mg.parse_env_id("BabyAI-GoToLocal-v0")
     assert (p.width, p.num_objs) == (8, 8)
     with pytest.raises(ValueError, match="BabyAI-GoToLocal"):
-        mg.parse_env_id("BabyAI-PutNextLocal-v0")
+        mg.parse_env_id("BabyAI-OpenRedDoor-v0")
 
 
 # ---------------------------------------------------------------------------
@@ -265,14 +267,193 @@ def test_pickup_of_distractor_continues_and_drop_in_front_succeeds():
 
 
 def test_truncates_at_max_steps():
-    # spinning in place for max_steps must truncate without terminating
-    params = mg.parse_env_id("BabyAI-GoToObjS4-v0")
+    # spinning in place for max_steps must truncate without terminating —
+    # from a cell none of whose neighbors holds the object (facing an
+    # object IS success for GoTo missions, so the cell must be clear)
+    params = mg.parse_env_id("BabyAI-GoToObjS6-v0")
     st = mg.reset(params, jax.random.PRNGKey(3))
+    g = np.asarray(st.grid)
+    obj = g[..., 0]
+    spot = next(
+        (x, y) for x, y in np.argwhere(obj == mg.EMPTY)
+        if all(obj[x + dx, y + dy] in (mg.EMPTY, mg.WALL)
+               for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))))
+    st = _face(st, (int(spot[0]), int(spot[1])), 0)
     term = trunc = False
     for _ in range(params.max_steps):
         st, r, term, trunc = _step(params, st, mg.A_RIGHT)
         assert not term
     assert trunc
+
+
+# ---------------------------------------------------------------------------
+# PutNextLocal
+# ---------------------------------------------------------------------------
+
+
+def test_parse_putnext_and_pickup_ids():
+    p = mg.parse_env_id("BabyAI-PutNextLocal-v0")
+    assert (p.kind, p.width, p.num_objs, p.max_steps) == (
+        "babyai_putnext", 8, 8, 8 * 64)
+    p = mg.parse_env_id("BabyAI-PutNextLocalS5N3-v0")
+    assert (p.width, p.num_objs) == (5, 3)
+    p = mg.parse_env_id("BabyAI-PickupDist-v0")
+    assert (p.kind, p.width, p.num_objs, p.strict) == (
+        "babyai_pickup", 7, 5, False)
+    assert mg.parse_env_id("BabyAI-PickupDistDebug-v0").strict
+
+
+def test_putnext_structure():
+    params = mg.parse_env_id("BabyAI-PutNextLocal-v0")
+    for seed in range(8):
+        st = mg.reset(params, jax.random.PRNGKey(seed))
+        g = np.asarray(st.grid)
+        objs = np.argwhere(np.isin(g[..., 0], OBJ_TYPES))
+        assert len(objs) == 8
+        pairs = {(int(g[x, y, 0]), int(g[x, y, 1])) for x, y in objs}
+        assert len(pairs) == 8, "objects must be pairwise distinct"
+        t = np.asarray(st.target)
+        assert (int(t[0]), int(t[1])) in pairs
+        assert (int(t[2]), int(t[3])) in pairs
+        assert (t[0], t[1]) != (t[2], t[3]), "move and fixed must differ"
+        ax, ay = np.asarray(st.agent_pos)
+        assert _reachable_oracle(g[..., 0], (int(ax), int(ay)))
+
+
+def test_putnext_carry_drop_next_to_fixed_succeeds():
+    params = mg.parse_env_id("BabyAI-PutNextLocalS6N4-v0")
+    st = mg.reset(params, jax.random.PRNGKey(0))
+    g = np.asarray(st.grid)
+    t = np.asarray(st.target)
+    (ax, ay) = map(int, np.argwhere(
+        (g[..., 0] == t[0]) & (g[..., 1] == t[1]))[0])
+    (bx, by) = map(int, np.argwhere(
+        (g[..., 0] == t[2]) & (g[..., 1] == t[3]))[0])
+    (nx, ny), dirn = _free_neighbor(g[..., 0], ax, ay)
+    st, r, term, _ = _step(params, _face(st, (nx, ny), dirn), mg.A_PICKUP)
+    assert not term and r == 0.0, "picking the move object must not end it"
+    g2 = np.asarray(st.grid)
+    for cx, cy in ((bx + 1, by), (bx - 1, by), (bx, by + 1), (bx, by - 1)):
+        if g2[cx, cy, 0] != mg.EMPTY:
+            continue
+        (sx, sy), dirn = _free_neighbor(g2[..., 0], cx, cy)
+        st2, r, term, _ = _step(params, _face(st, (sx, sy), dirn), mg.A_DROP)
+        assert term and r == pytest.approx(1.0 - 0.9 * 2 / params.max_steps)
+        return
+    raise AssertionError("no free drop cell adjacent to the fixed object")
+
+
+def test_putnext_far_drop_and_diagonal_do_not_terminate():
+    params = mg.parse_env_id("BabyAI-PutNextLocal-v0")
+    st = mg.reset(params, jax.random.PRNGKey(2))
+    g = np.asarray(st.grid)
+    t = np.asarray(st.target)
+    (ax, ay) = map(int, np.argwhere(
+        (g[..., 0] == t[0]) & (g[..., 1] == t[1]))[0])
+    (bx, by) = map(int, np.argwhere(
+        (g[..., 0] == t[2]) & (g[..., 1] == t[3]))[0])
+    (nx, ny), dirn = _free_neighbor(g[..., 0], ax, ay)
+    st, r, term, _ = _step(params, _face(st, (nx, ny), dirn), mg.A_PICKUP)
+    assert not term
+    g2 = np.asarray(st.grid)
+    # a drop ≥ 2 away from the fixed object must NOT end the episode
+    # (unlike MiniGrid's PutNear, where any drop terminates)
+    for x, y in np.argwhere(g2[..., 0] == mg.EMPTY):
+        if abs(x - bx) + abs(y - by) <= 2:
+            continue
+        for dirn, (dx, dy) in enumerate([(1, 0), (0, 1), (-1, 0), (0, -1)]):
+            sx, sy = x - dx, y - dy
+            if g2[sx, sy, 0] == mg.EMPTY:
+                st2, r, term, _ = _step(
+                    params, _face(st, (int(sx), int(sy)), dirn), mg.A_DROP)
+                assert not term and r == 0.0
+                return
+    raise AssertionError("no far drop cell found")
+
+
+def test_putnext_verifies_on_drop_action_even_with_empty_hands():
+    """Upstream PutNextInstr checks the ACTION, not the drop's effect:
+    if the pair already sits adjacent, any drop action succeeds."""
+    params = mg.parse_env_id("BabyAI-PutNextLocal-v0")
+    for seed in range(64):
+        st = mg.reset(params, jax.random.PRNGKey(seed))
+        g = np.asarray(st.grid)
+        t = np.asarray(st.target)
+        (ax, ay) = map(int, np.argwhere(
+            (g[..., 0] == t[0]) & (g[..., 1] == t[1]))[0])
+        (bx, by) = map(int, np.argwhere(
+            (g[..., 0] == t[2]) & (g[..., 1] == t[3]))[0])
+        if abs(ax - bx) + abs(ay - by) != 1:
+            continue
+        st, r, term, _ = _step(params, st, mg.A_DROP)
+        assert term and r == pytest.approx(1.0 - 0.9 * 1 / params.max_steps)
+        # ... and a non-drop action does not trigger the verifier
+        st = mg.reset(params, jax.random.PRNGKey(seed))
+        st, r, term, _ = _step(params, st, mg.A_LEFT)
+        assert not term
+        return
+    raise AssertionError("no seed with the pair adjacent at reset")
+
+
+# ---------------------------------------------------------------------------
+# PickupDist
+# ---------------------------------------------------------------------------
+
+
+def test_pickupdist_structure_and_wildcards():
+    params = mg.parse_env_id("BabyAI-PickupDist-v0")
+    wildcards = set()
+    for seed in range(24):
+        st = mg.reset(params, jax.random.PRNGKey(seed))
+        g = np.asarray(st.grid)
+        objs = np.argwhere(np.isin(g[..., 0], OBJ_TYPES))
+        assert len(objs) == 5
+        pairs = {(int(g[x, y, 0]), int(g[x, y, 1])) for x, y in objs}
+        assert len(pairs) == 5
+        t = np.asarray(st.target)
+        wildcards.add((bool(t[0] < 0), bool(t[1] < 0)))
+        # a placed object matches the (possibly wildcarded) description
+        assert any((t[0] < 0 or g[x, y, 0] == t[0])
+                   and (t[1] < 0 or g[x, y, 1] == t[1]) for x, y in objs)
+        assert not (t[0] < 0 and t[1] < 0), "at most one wildcard"
+    # all three select_by modes appear: type-only, color-only, both
+    assert wildcards == {(False, False), (True, False), (False, True)}
+
+
+def _pickupdist_pickup(env_id, seed, want_match):
+    params = mg.parse_env_id(env_id)
+    st = mg.reset(params, jax.random.PRNGKey(seed))
+    g = np.asarray(st.grid)
+    t = np.asarray(st.target)
+    def matches(x, y):
+        return ((t[0] < 0 or g[x, y, 0] == t[0])
+                and (t[1] < 0 or g[x, y, 1] == t[1]))
+    cells = [(x, y) for x, y in np.argwhere(np.isin(g[..., 0], OBJ_TYPES))
+             if matches(x, y) == want_match]
+    if not cells:
+        return None
+    (nx, ny), dirn = _free_neighbor(g[..., 0], *map(int, cells[0]))
+    return _step(params, _face(st, (nx, ny), dirn), mg.A_PICKUP), params
+
+
+def test_pickupdist_matching_pickup_rewards():
+    out = _pickupdist_pickup("BabyAI-PickupDist-v0", 0, want_match=True)
+    (st, r, term, _), params = out
+    assert term and r == pytest.approx(1.0 - 0.9 * 1 / params.max_steps)
+
+
+def test_pickupdist_wrong_pickup_continues_unless_debug():
+    for seed in range(6):
+        out = _pickupdist_pickup("BabyAI-PickupDist-v0", seed, False)
+        if out is None:
+            continue
+        (st, r, term, _), _ = out
+        assert not term and r == 0.0
+        out = _pickupdist_pickup("BabyAI-PickupDistDebug-v0", seed, False)
+        (st, r, term, _), _ = out
+        assert term and r == 0.0, "strict mode fails on a wrong pickup"
+        return
+    raise AssertionError("no seed with a non-matching object")
 
 
 # ---------------------------------------------------------------------------

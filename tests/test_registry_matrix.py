@@ -83,6 +83,10 @@ REGISTERED = [
     "BabyAI-GoToLocalS8N4-v0", "BabyAI-GoToLocalS8N5-v0",
     "BabyAI-GoToLocalS8N6-v0", "BabyAI-GoToLocalS8N7-v0",
     "BabyAI-GoToLocal-v0",
+    # babyai/putnext.py / pickup.py (single-room levels)
+    "BabyAI-PutNextLocalS5N3-v0", "BabyAI-PutNextLocalS6N4-v0",
+    "BabyAI-PutNextLocal-v0",
+    "BabyAI-PickupDist-v0", "BabyAI-PickupDistDebug-v0",
 ]
 
 

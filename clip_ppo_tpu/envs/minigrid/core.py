@@ -69,7 +69,9 @@ class EnvParams:
     #            | "crossing" | "unlock" | "dynobs" | "distshift" | "redblue"
     #            | "keycorridor" | "lockedroom" | "memory" | "obstructedfull"
     #            | "playground" | "gotodoor" | "fetch" | "gotoobject"
-    #            | "putnear" | "babyai_goto"
+    #            | "putnear" | "babyai_goto" | "babyai_putnext"
+    #            | "babyai_pickup" | "babyai_openred" | "babyai_opendoor"
+    #            | "babyai_actionobj"
     width: int
     height: int
     max_steps: int
@@ -111,10 +113,17 @@ class EnvParams:
     num_objs: int = 0
     # BabyAI GoToRedBallGrey: distractors are recolored grey.
     grey_dists: bool = False
-    # BabyAI PickupDistDebug: a pickup action that leaves the agent
-    # carrying a non-matching object fails the episode (PickupInstr
-    # strict=True).
+    # BabyAI PickupDistDebug / OpenDoorDebug: a pickup (resp. door
+    # toggle) that does not satisfy the mission fails the episode
+    # (PickupInstr / OpenInstr strict=True).
     strict: bool = False
+    # BabyAI OpenDoor: how the mission describes the target door —
+    # "color" (the first door's color), "loc" (a location word relative
+    # to the agent's start pose), or "" = sampled per episode.
+    select_by: str = ""
+    # BabyAI GoToRedBlueBall: the target is a ball colored red or blue
+    # (uniform per episode) and no distractor may be a red or blue ball.
+    rb_target: bool = False
     # Memory S{n}Random variants: re-sample the hallway length per episode.
     random_length: bool = False
     # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
@@ -164,8 +173,11 @@ def parse_env_id(env_id: str) -> EnvParams:
     mission-conditioned quartet ``GoToDoor-NxN``, ``Fetch-NxN-Nk``,
     ``GoToObject-NxN-Nk``, ``PutNear-NxN-Nk``, plus the single-room
     BabyAI tier ``BabyAI-GoToRedBall{,Grey,NoDists}``,
-    ``BabyAI-GoToObj[Ss]``, ``BabyAI-GoToLocal[SsNn]``,
-    ``BabyAI-PutNextLocal[SsNn]``, ``BabyAI-PickupDist[Debug]``.
+    ``BabyAI-GoToRedBlueBall``, ``BabyAI-GoToObj[Ss]``,
+    ``BabyAI-GoToLocal[SsNn]``, ``BabyAI-PutNextLocal[SsNn]``,
+    ``BabyAI-PickupDist[Debug]``, the BabyAI Open tier
+    ``BabyAI-OpenRedDoor``, ``BabyAI-OpenDoor[Color|Loc][Debug]``, and
+    the mixed-verb ``BabyAI-ActionObjDoor``.
     Unknown ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
@@ -428,6 +440,53 @@ def parse_env_id(env_id: str) -> EnvParams:
             # ≥ 0 marks the fixed (BALL, RED) mission target.
             target_color=RED,
         )
+    m = re.match(r"BabyAI-GoToRedBlueBall(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToRedBlueBall (upstream minigrid/envs/babyai/goto.py
+        # — reconstructed): one 8×8 room, 7 distractors, then a ball
+        # colored red or blue (uniform); the whole layout is
+        # rejection-resampled if any distractor is a red or blue ball
+        # (upstream raises RejectSampling) — per-draw conditional
+        # sampling is distribution-identical since the predicate
+        # factorizes per distractor. Mission: GoToInstr on the ball.
+        return EnvParams("babyai_goto", 8, 8, 8 * 8 * 8, False,
+                         success="babyai_goto", num_objs=7, rb_target=True)
+    m = re.match(r"BabyAI-OpenRedDoor(-v\d+)?$", env_id)
+    if m:
+        # BabyAI OpenRedDoor (upstream minigrid/envs/babyai/open.py —
+        # reconstructed): RoomGrid 1 row × 2 cols of 5×5 rooms (9×5
+        # grid), a red unlocked door on the shared wall at a random y,
+        # agent placed in the left room; max_steps = 8·room_size².
+        # Mission: OpenInstr(red door).
+        return EnvParams("babyai_openred", 9, 5, 8 * 5 * 5, False,
+                         success="babyai_open")
+    m = re.match(r"BabyAI-OpenDoor(Color|Loc)?(Debug)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI OpenDoor[Color|Loc][Debug] (upstream open.py —
+        # reconstructed): default 3×3 RoomGrid of 8×8 rooms (22×22); the
+        # center room gets one unlocked door per wall in 4 distinct
+        # colors; the agent starts inside it. The mission names the
+        # target by color (the first door's color — matching exactly
+        # that door) or by a location word relative to the agent's
+        # start pose; unforced variants sample the mode per episode.
+        # Debug = OpenInstr strict (toggling a non-matching door fails).
+        return EnvParams("babyai_opendoor", 22, 22, 8 * 8 * 8, False,
+                         success="babyai_open",
+                         select_by=(m.group(1) or "").lower(),
+                         strict=m.group(2) is not None)
+    m = re.match(r"BabyAI-ActionObjDoor(-v\d+)?$", env_id)
+    if m:
+        # BabyAI ActionObjDoor (upstream minigrid/envs/babyai/other.py —
+        # reconstructed): 3×3 RoomGrid of 7×7 rooms (19×19); the center
+        # room gets 5 DISTINCT distractors (add_distractors default
+        # all_unique=True) and one unlocked random-color door per wall
+        # (duplicate colors allowed); agent inside. The mission picks
+        # one of the 9 objects uniformly: a door gets GoToInstr or
+        # OpenInstr (coin flip), an object GoToInstr or PickupInstr —
+        # the per-episode verb lives in EnvState.target[0]
+        # (0=goto, 1=pickup, 2=open), the (type, color) in target[1:3].
+        return EnvParams("babyai_actionobj", 19, 19, 8 * 7 * 7, False,
+                         success="babyai_action", num_objs=5)
     m = re.match(r"BabyAI-GoToObj(?:S(\d+))?(-v\d+)?$", env_id)
     if m:
         # BabyAI GoToObj[S{4,6}] (upstream goto.py): one room with a
@@ -487,8 +546,10 @@ def parse_env_id(env_id: str) -> EnvParams:
             "MiniGrid-MemoryS{n}[Random], MiniGrid-GoToDoor-NxN, "
             "MiniGrid-Fetch-NxN-Nk, MiniGrid-GoToObject-NxN-Nk, "
             "MiniGrid-PutNear-NxN-Nk, BabyAI-GoToRedBall{,Grey,NoDists}, "
-            "BabyAI-GoToObj[Ss], BabyAI-GoToLocal[SsNn], "
-            "BabyAI-PutNextLocal[SsNn], BabyAI-PickupDist[Debug] "
+            "BabyAI-GoToRedBlueBall, BabyAI-GoToObj[Ss], "
+            "BabyAI-GoToLocal[SsNn], BabyAI-PutNextLocal[SsNn], "
+            "BabyAI-PickupDist[Debug], BabyAI-OpenRedDoor, "
+            "BabyAI-OpenDoor[Color|Loc][Debug], BabyAI-ActionObjDoor "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -1849,13 +1910,30 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
     (BALL, RED) target and ``num_objs`` distractors follow — random
     key/ball/box × 6 colors, recolored grey when ``grey_dists``;
     otherwise (GoToObj / GoToLocal) all ``num_objs`` objects are random
-    and the target is a uniform draw among them."""
+    and the target is a uniform draw among them. ``rb_target``
+    (GoToRedBlueBall) makes object 0 a ball colored red or blue
+    (uniform per attempt, like upstream's re-run on RejectSampling) and
+    draws each distractor uniformly over the 16 (type, color) pairs
+    that are not a red or blue ball — equivalent to upstream's
+    reject-the-whole-layout rule because the predicate factorizes per
+    distractor."""
     k_room, k_tgt, k_next = jax.random.split(key, 3)
-    fixed_target = params.target_color >= 0
+    fixed_target = (params.target_color >= 0) or params.rb_target
     n_objs = params.num_objs + (1 if fixed_target else 0)
 
     def sample_objs(k):
         k_type, k_color = jax.random.split(k)
+        if params.rb_target:
+            # pairs type-major (key, ball, box) × 6 colors; skip
+            # ball-red (6) and ball-blue (8)
+            u = jax.random.randint(k_type, (n_objs,), 0, 16)
+            pidx = u + (u >= 6) + (u >= 7)
+            types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[pidx // 6]
+            colors = (pidx % 6).astype(jnp.int8)
+            types = types.at[0].set(BALL)
+            return types, colors.at[0].set(
+                jnp.asarray([RED, BLUE], jnp.int8)[
+                    jax.random.randint(k_color, (), 0, 2)])
         types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
             jax.random.randint(k_type, (n_objs,), 0, 3)]
         colors = (jnp.full((n_objs,), GREY, jnp.int8) if params.grey_dists
@@ -1870,7 +1948,8 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
         params, k_room, sample_objs)
 
     if fixed_target:
-        target = jnp.zeros(8, jnp.int32).at[0].set(BALL).at[1].set(RED)
+        target = (jnp.zeros(8, jnp.int32).at[0].set(BALL)
+                  .at[1].set(colors[0].astype(jnp.int32)))
     else:
         t = jax.random.randint(k_tgt, (), 0, n_objs)
         target = jnp.zeros(8, jnp.int32).at[0].set(
@@ -1952,6 +2031,164 @@ def _reset_babyai_pickup(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_babyai_openred(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI OpenRedDoor (upstream minigrid/envs/babyai/open.py —
+    reconstructed): RoomGrid 1 row × 2 cols of 5×5 rooms → a 9×5 grid
+    with the shared wall at x=4; ``add_door(0, 0, 0, "red",
+    locked=False)`` puts a closed red door at a random y of that wall,
+    and the agent starts in the left room. ``EnvState.target[0]`` holds
+    the door's packed position + 1 for the OpenInstr verifier."""
+    k_door, k_agent, k_dir, k_next = jax.random.split(key, 4)
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = grid[-1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = grid[:, -1, :] = [WALL, GREY, 0]
+    grid[4, :, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+    dy = jax.random.randint(k_door, (), 1, params.height - 1)
+    grid = grid.at[4, dy].set(
+        jnp.stack([jnp.int8(DOOR), jnp.int8(RED), jnp.int8(CLOSED)]))
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & (xs < 4))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32).at[0].set(4 * params.height + dy + 1),
+    )
+
+
+def _reset_babyai_opendoor(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI OpenDoor[Color|Loc][Debug] (upstream open.py —
+    reconstructed): the default 3×3 RoomGrid of 8×8 rooms (22×22 grid,
+    walls at multiples of 7); the center room gets one closed unlocked
+    door per wall — east/south/west/north in that order (add_door
+    door_idx 0..3) — in 4 distinct colors (_rand_subset of the 6), and
+    the agent starts inside it. The mission's match set (ObjDesc via
+    OpenInstr, fixed at reset like reset_verifier's find_matching_objs):
+    select_by "color" → exactly the first (east) door, whose color names
+    the mission; "loc" → every door on the sampled side of the agent's
+    start pose (verifier.py dot-product rule: left/right sign of
+    v·right-vec, front/behind sign of v·dir-vec — the door on the faced
+    wall always satisfies its own side, so the set is never empty);
+    unforced → uniform between the modes. Matched doors' packed
+    positions + 1 fill ``EnvState.target[:4]`` (0 = unused slot)."""
+    k_col, k_off, k_agent, k_dir, k_sel, k_loc, k_next = (
+        jax.random.split(key, 7))
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * 7, :, :] = [WALL, GREY, 0]
+        grid[:, t * 7, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    colors = jax.random.permutation(k_col, 6)[:4].astype(jnp.int8)
+    offs = jax.random.randint(k_off, (4,), 8, 14)
+    dx = jnp.stack([jnp.int32(14), offs[1], jnp.int32(7), offs[3]])
+    dy = jnp.stack([offs[0], jnp.int32(14), offs[2], jnp.int32(7)])
+    for i in range(4):
+        grid = grid.at[dx[i], dy[i]].set(
+            jnp.stack([jnp.int8(DOOR), colors[i], jnp.int8(CLOSED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    interior = (xs >= 8) & (xs <= 13) & (ys >= 8) & (ys <= 13)
+    agent_pos = _sample_free_cell(
+        k_agent, (grid[..., 0] == EMPTY) & interior)
+    agent_dir = jax.random.randint(k_dir, (), 0, 4)
+
+    sel = (jnp.int32(0) if params.select_by == "color"
+           else jnp.int32(1) if params.select_by == "loc"
+           else jax.random.randint(k_sel, (), 0, 2))
+    loc = jax.random.randint(k_loc, (), 0, 4)  # left/right/front/behind
+    d1 = jnp.asarray(DIR_TO_VEC)[agent_dir]
+    d2 = jnp.asarray(DIR_TO_VEC)[(agent_dir + 1) % 4]
+    v = jnp.stack([dx, dy], 1) - agent_pos            # [4, 2]
+    p1, p2 = v @ d1, v @ d2
+    loc_ok = jnp.stack([p2 < 0, p2 > 0, p1 > 0, p1 < 0])[loc]
+    match = jnp.where(sel == 0, jnp.arange(4) == 0, loc_ok)
+    packed = dx * params.height + dy + 1
+    target = jnp.concatenate(
+        [jnp.where(match, packed, 0), jnp.zeros(4, jnp.int32)])
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_babyai_actionobj(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI ActionObjDoor (upstream minigrid/envs/babyai/other.py —
+    reconstructed): 3×3 RoomGrid of 7×7 rooms, walls at multiples of 6;
+    the center room (interior 7..11 both axes) holds 5 distinct
+    distractors and gets one closed unlocked door per wall at a random
+    offset, each in an independent random color (add_door's default —
+    duplicates allowed, unlike the distractors). The agent starts
+    inside. The mission draws one of the 9 objects uniformly; doors get
+    GoToInstr/OpenInstr, objects GoToInstr/PickupInstr (coin flip).
+    ``EnvState.target`` = [verb (0=goto, 1=pickup, 2=open), type,
+    color, 0...] — GoToInstr/PickupInstr/OpenInstr all match by
+    (type, color), so duplicates anywhere count (ObjDesc matches all).
+    No reachability check (upstream gen_mission omits it here)."""
+    (k_obj, k_place, k_dcol, k_doff, k_agent, k_dir, k_pick, k_verb,
+     k_next) = jax.random.split(key, 9)
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * 6, :, :] = [WALL, GREY, 0]
+        grid[:, t * 6, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    dcols = jax.random.randint(k_dcol, (4,), 0, 6).astype(jnp.int8)
+    offs = jax.random.randint(k_doff, (4,), 7, 12)
+    ddx = jnp.stack([jnp.int32(12), offs[1], jnp.int32(6), offs[3]])
+    ddy = jnp.stack([offs[0], jnp.int32(12), offs[2], jnp.int32(6)])
+    for i in range(4):
+        grid = grid.at[ddx[i], ddy[i]].set(
+            jnp.stack([jnp.int8(DOOR), dcols[i], jnp.int8(CLOSED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    interior = (xs >= 7) & (xs <= 11) & (ys >= 7) & (ys <= 11)
+    types, colors = _distinct_objects(k_obj, params.num_objs)
+    free = (grid[..., 0] == EMPTY) & interior
+    agent_pos = _sample_free_cell(k_agent, free)
+    free = free.at[agent_pos[0], agent_pos[1]].set(False)
+    for i, kp in enumerate(jax.random.split(k_place, params.num_objs)):
+        pos = _sample_free_cell(kp, free)
+        free = free.at[pos[0], pos[1]].set(False)
+        grid = grid.at[pos[0], pos[1]].set(
+            jnp.stack([types[i], colors[i], jnp.int8(0)]))
+
+    pick = jax.random.randint(k_pick, (), 0, params.num_objs + 4)
+    is_door = pick >= params.num_objs
+    di = jnp.clip(pick - params.num_objs, 0, 3)
+    oi = jnp.clip(pick, 0, params.num_objs - 1)
+    ttype = jnp.where(is_door, DOOR, types[oi].astype(jnp.int32))
+    tcol = jnp.where(is_door, dcols[di].astype(jnp.int32),
+                     colors[oi].astype(jnp.int32))
+    coin = jax.random.randint(k_verb, (), 0, 2)
+    verb = jnp.where(coin == 0, 0, jnp.where(is_door, 2, 1))
+    target = (jnp.zeros(8, jnp.int32).at[0].set(verb)
+              .at[1].set(ttype).at[2].set(tcol))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -1996,6 +2233,12 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_babyai_putnext(params, key)
     if params.kind == "babyai_pickup":
         return _reset_babyai_pickup(params, key)
+    if params.kind == "babyai_openred":
+        return _reset_babyai_openred(params, key)
+    if params.kind == "babyai_opendoor":
+        return _reset_babyai_opendoor(params, key)
+    if params.kind == "babyai_actionobj":
+        return _reset_babyai_actionobj(params, key)
     if params.kind == "putnear":
         return _reset_putnear(params, key)
     raise ValueError(params.kind)
@@ -2331,6 +2574,54 @@ def step(
         if params.strict:
             fail = (action == A_PICKUP) & (carrying[0] != 0) & ~match
             terminated = terminated | fail
+    elif params.success == "babyai_open":
+        # BabyAI OpenInstr (upstream verifier.py — reconstructed):
+        # verified only on toggle ACTIONS; success iff the front cell —
+        # AFTER the toggle (RoomGridLevel.step verifies post-transition)
+        # — is a door from the mission's match set (packed positions + 1
+        # in target[:4]) and is now open. strict (OpenDoorDebug) FAILS
+        # the episode whenever a toggle leaves a door in front without
+        # success: a wrong door, or re-closing a matching open one.
+        # The agent never moves on a toggle, so (fx, fy) is its front.
+        cell = grid[fx, fy]
+        packed = fx * params.height + fy + 1
+        in_set = jnp.any(state.target[:4] == packed)
+        succ = ((action == A_TOGGLE) & (cell[0] == DOOR)
+                & (cell[2] == OPEN) & in_set)
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
+        if params.strict:
+            fail = (action == A_TOGGLE) & (cell[0] == DOOR) & ~succ
+            terminated = terminated | fail
+    elif params.success == "babyai_action":
+        # BabyAI ActionObjDoor (upstream other.py + verifier.py —
+        # reconstructed): the per-episode verb in target[0] picks the
+        # verifier; all three match by (type, color) = target[1:3].
+        # goto — GoToInstr: post-step front cell matches (plus the
+        # pickup-from-a-facing-reset nuance, as in babyai_goto);
+        # pickup — PickupInstr: a pickup action that leaves the agent
+        # carrying a match; open — OpenInstr: a toggle that leaves a
+        # matching door open in front.
+        verb, ttype, tcol = state.target[0], state.target[1], state.target[2]
+        new_fwd = new_pos + dir_vec[new_dir]
+        nfx = jnp.clip(new_fwd[0], 0, params.width - 1)
+        nfy = jnp.clip(new_fwd[1], 0, params.height - 1)
+        ncell = grid[nfx, nfy]
+        goto_succ = ((ncell[0].astype(jnp.int32) == ttype)
+                     & (ncell[1].astype(jnp.int32) == tcol)) | (
+            does_pickup & (fobj.astype(jnp.int32) == ttype)
+            & (fcol.astype(jnp.int32) == tcol))
+        pick_succ = ((action == A_PICKUP)
+                     & (carrying[0].astype(jnp.int32) == ttype)
+                     & (carrying[1].astype(jnp.int32) == tcol))
+        cell = grid[fx, fy]
+        open_succ = ((action == A_TOGGLE) & (cell[0] == DOOR)
+                     & (cell[1].astype(jnp.int32) == tcol)
+                     & (cell[2] == OPEN))
+        succ = jnp.where(verb == 0, goto_succ,
+                         jnp.where(verb == 1, pick_succ, open_succ))
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
     elif params.success == "putnear":
         # PutNear semantics (upstream putnear.py step — reconstructed):
         # a pickup that leaves the agent carrying anything but the move

@@ -87,6 +87,13 @@ REGISTERED = [
     "BabyAI-PutNextLocalS5N3-v0", "BabyAI-PutNextLocalS6N4-v0",
     "BabyAI-PutNextLocal-v0",
     "BabyAI-PickupDist-v0", "BabyAI-PickupDistDebug-v0",
+    # babyai/goto.py GoToRedBlueBall + babyai/open.py single-target tier
+    "BabyAI-GoToRedBlueBall-v0",
+    "BabyAI-OpenRedDoor-v0",
+    "BabyAI-OpenDoor-v0", "BabyAI-OpenDoorDebug-v0",
+    "BabyAI-OpenDoorColor-v0", "BabyAI-OpenDoorLoc-v0",
+    # babyai/other.py (mixed-verb single-room level)
+    "BabyAI-ActionObjDoor-v0",
 ]
 
 

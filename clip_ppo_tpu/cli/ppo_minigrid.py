@@ -111,6 +111,14 @@ class Args:
     disturbance_severity: str = "MILD"
     """disturbance severity level: MILD, MODERATE, SEVERE"""
 
+    # Recurrent agent (no reference equivalent — its agents are all
+    # feed-forward; the Memory family needs recurrence, docs/PERFORMANCE.md)
+    recurrent: bool = False
+    """insert an LSTM between the CNN trunk and the actor/critic heads
+    (CleanRL ppo_atari_lstm-style; solves MiniGrid-Memory)"""
+    lstm_hidden: int = 128
+    """LSTM hidden size for --recurrent"""
+
     # TPU execution arguments (no reference equivalent — single-device there)
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
@@ -195,10 +203,19 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         disturbance_semantics="per_image",
         capture_env0=args.capture_video,
         mesh=mesh,
+        recurrent=args.recurrent,
     )
-    params = init_agent_params(
-        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
-    )
+    if args.recurrent:
+        from clip_ppo_tpu.models.recurrent import init_agent_params_recurrent
+
+        params = init_agent_params_recurrent(
+            jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3,
+            lstm_hidden=args.lstm_hidden,
+        )
+    else:
+        params = init_agent_params(
+            jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
+        )
     state = trainer.init_state(params, args.seed)
 
     checkpoint_path = None

@@ -158,6 +158,18 @@ def get_action_and_value_gumbel(
     return action, logp, value
 
 
+def action_value_from_hidden(
+    params: dict, hidden: jax.Array, gumbel: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gumbel-max action + logprob + value from a precomputed latent —
+    the recurrent rollout computes its latent through the LSTM cell, so
+    the feature trunk is not re-run here."""
+    logits, value = heads(params, hidden)
+    action = jnp.argmax(logits + gumbel, axis=-1)
+    logp, _ = logprob_entropy(logits, action)
+    return action, logp, value
+
+
 def evaluate_actions(
     params: dict,
     obs: jax.Array,

@@ -124,6 +124,19 @@ def ppo_loss(
     newlogprob, entropy, newvalue, hidden = agent_mod.evaluate_actions(
         params, mb["obs"], mb["actions"], features_fn, frozen
     )
+    return _ppo_from_eval(
+        params, mb, cfg, newlogprob, entropy, newvalue, hidden,
+        clip_embeddings, clip_lambda_eff, use_clip_this_mb,
+    )
+
+
+def _ppo_from_eval(
+    params, mb, cfg, newlogprob, entropy, newvalue, hidden,
+    clip_embeddings, clip_lambda_eff, use_clip_this_mb,
+):
+    """The clipped-PPO math given the recomputed policy outputs — shared
+    by the feed-forward loss above and the recurrent sequence-replay loss
+    below (same reference math, `ppo_minigrid.py:298-350`)."""
     logratio = newlogprob - mb["logprobs"]
     ratio = jnp.exp(logratio)
 
@@ -283,6 +296,125 @@ def update_epochs(
     (params, opt_state, _, _), aux = jax.lax.scan(epoch_step, init, epoch_keys)
 
     # aux leaves have shape [update_epochs, num_minibatches].
+    last = lambda a: a[-1, -1]
+    metrics = UpdateMetrics(
+        pg_loss=last(aux["pg_loss"]),
+        v_loss=last(aux["v_loss"]),
+        entropy=last(aux["entropy"]),
+        old_approx_kl=last(aux["old_approx_kl"]),
+        approx_kl=last(aux["approx_kl"]),
+        clipfrac=jnp.mean(aux["clipfrac"]),
+        clip_loss=last(aux["clip_loss"]),
+        grad_norm=last(aux["grad_norm"]),
+        first_pg_loss=aux["pg_loss"][0, 0],
+        first_v_loss=aux["v_loss"][0, 0],
+        first_entropy=aux["entropy"][0, 0],
+        first_clip_loss=aux["clip_loss"][0, 0],
+    )
+    return params, opt_state, metrics
+
+
+def recurrent_loss(
+    params: dict,
+    mb: dict,
+    cfg: PPOConfig,
+    features_fn: agent_mod.FeatureFn,
+    frozen=None,
+):
+    """Minibatch loss for the recurrent (LSTM) agent.
+
+    ``mb`` holds [T, n, ...] SEQUENCES for a slice of n envs — obs,
+    actions, logprobs, advantages, returns, values, dones — plus the
+    iteration-initial cell state h0/c0 [n, H]. The base trunk runs over
+    the whole [T·n] batch as one program (MXU work); only the cell
+    recurrence replays sequentially, with the same done-reset the rollout
+    applied, so the recomputed latents match the rollout's exactly at
+    unchanged parameters (pinned in tests/test_recurrent.py).
+    """
+    from clip_ppo_tpu.models import recurrent as rec
+
+    t, n = mb["actions"].shape
+    obs = mb["obs"]
+    feats = features_fn(
+        params, obs.reshape((t * n,) + obs.shape[2:]), frozen
+    ).reshape(t, n, -1)
+    hs, _ = rec.unroll(
+        params["lstm"], feats, mb["dones"], (mb["h0"], mb["c0"])
+    )
+    latents = rec.latent(feats, hs)
+    logits, newvalue = agent_mod.heads(params, latents)
+    newlogprob, entropy = agent_mod.logprob_entropy(logits, mb["actions"])
+    return _ppo_from_eval(
+        params, mb, cfg, newlogprob, entropy, newvalue, latents,
+        None, jnp.float32(0.0), jnp.bool_(False),
+    )
+
+
+def update_epochs_recurrent(
+    params: dict,
+    opt_state,
+    batch: dict,
+    initial_lstm_state: tuple[jax.Array, jax.Array],
+    key: jax.Array,
+    cfg: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
+) -> tuple[dict, Any, UpdateMetrics]:
+    """PPO epochs for the recurrent agent: minibatches are ENV slices
+    (CleanRL ``ppo_atari_lstm``) so each minibatch replays its envs'
+    whole [T] sequences from the iteration's initial LSTM state —
+    time-contiguity is what makes the recurrent logprob recompute valid.
+    ``batch`` stays in rollout layout ([T, N, ...]) and must include
+    ``dones``; num_envs must divide by num_minibatches."""
+    assert cfg.num_envs % cfg.num_minibatches == 0, (
+        f"recurrent PPO minibatches over envs: num_envs={cfg.num_envs} "
+        f"not divisible by num_minibatches={cfg.num_minibatches}"
+    )
+    epm = cfg.num_envs // cfg.num_minibatches
+    h0, c0 = initial_lstm_state
+    grad_fn = jax.value_and_grad(recurrent_loss, has_aux=True)
+
+    def minibatch_step(carry, mb):
+        params, opt_state, stop = carry
+        (loss, aux), grads = grad_fn(params, mb, cfg, features_fn)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if cfg.target_kl is None:
+            params_out, opt_out = new_params, new_opt_state
+        else:
+            params_out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(stop, old, new), new_params, params
+            )
+            opt_out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(stop, old, new), new_opt_state,
+                opt_state,
+            )
+        aux["grad_norm"] = grad_norm
+        return (params_out, opt_out, stop), aux
+
+    def epoch_step(carry, epoch_key):
+        params, opt_state, stop = carry
+        perm = jax.random.permutation(epoch_key, cfg.num_envs)
+        mbs = {
+            k: v[:, perm]
+            .reshape((v.shape[0], cfg.num_minibatches, epm) + v.shape[2:])
+            .swapaxes(0, 1)
+            for k, v in batch.items()
+        }
+        mbs["h0"] = h0[perm].reshape(cfg.num_minibatches, epm, -1)
+        mbs["c0"] = c0[perm].reshape(cfg.num_minibatches, epm, -1)
+        (params, opt_state, stop), aux = jax.lax.scan(
+            minibatch_step, (params, opt_state, stop), mbs
+        )
+        if cfg.target_kl is not None:
+            stop = stop | (aux["approx_kl"][-1] > cfg.target_kl)
+        return (params, opt_state, stop), aux
+
+    epoch_keys = jax.random.split(key, cfg.update_epochs)
+    init = (params, opt_state, jnp.bool_(False))
+    (params, opt_state, _), aux = jax.lax.scan(epoch_step, init, epoch_keys)
+
     last = lambda a: a[-1, -1]
     metrics = UpdateMetrics(
         pg_loss=last(aux["pg_loss"]),

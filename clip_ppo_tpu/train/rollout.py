@@ -128,7 +128,11 @@ def collect_rollout(
     (vec_state, obs, next_done, key), (obs_t, packed, (desc, video)) = (
         jax.lax.scan(one_step, (vec_state, obs, next_done, key), gumbels)
     )
-    batch = RolloutBatch(
+    return vec_state, obs, next_done, key, _unpack(obs_t, packed, desc, video)
+
+
+def _unpack(obs_t, packed, desc, video) -> RolloutBatch:
+    return RolloutBatch(
         obs=obs_t,
         actions=packed[..., 0].astype(jnp.int32),
         logprobs=packed[..., 1],
@@ -141,4 +145,84 @@ def collect_rollout(
         desc=desc,
         video=video,
     )
-    return vec_state, obs, next_done, key, batch
+
+
+def collect_rollout_recurrent(
+    params: dict,
+    env,
+    vec_state,
+    obs: jax.Array,
+    next_done: jax.Array,
+    lstm_state: tuple[jax.Array, jax.Array],
+    key: jax.Array,
+    num_steps: int,
+    disturbance: Optional[DisturbanceParams] = None,
+    disturbance_semantics: str = "batched",
+    features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
+    capture_video: bool = False,
+    frozen=None,
+    small_obs: bool = False,
+):
+    """Recurrent variant of :func:`collect_rollout`: the scan carry also
+    holds the per-env LSTM (h, c), reset where ``next_done`` marks an
+    episode boundary entering the step (CleanRL ``ppo_atari_lstm``
+    semantics). ``features_fn`` is the BASE trunk (CNN or the view fast
+    path); the cell and heads read ``params["lstm"]``/heads. Returns the
+    final ``lstm_state`` as an extra carry — the caller must keep the
+    iteration's INITIAL state for the update's sequence replay."""
+    assert not (small_obs and disturbance is not None), (
+        "the view fast path cannot apply image-space disturbances"
+    )
+    from clip_ppo_tpu.models import recurrent as rec
+
+    key, k_gumbel = jax.random.split(key)
+    gumbels = jax.random.gumbel(
+        k_gumbel, (num_steps, obs.shape[0], env.num_actions), jnp.float32
+    )
+
+    def one_step(carry, gumbel_t):
+        vec_state, obs, next_done, lstm_state, key = carry
+        if disturbance is not None:
+            key, k_dist = jax.random.split(key)
+            x = obs.astype(jnp.float32) / 255.0
+            x = disturb_auto(x, k_dist, disturbance, disturbance_semantics)
+            obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        feats = features_fn(params, obs, frozen)
+        h, lstm_state = rec.masked_lstm_step(
+            params["lstm"], feats, lstm_state, next_done
+        )
+        action, logprob, value = agent_mod.action_value_from_hidden(
+            params, rec.latent(feats, h), gumbel_t
+        )
+        step_kwargs = {"small_obs": True} if small_obs else {}
+        new_vec_state, new_obs, reward, term, trunc, info = env._step_impl(
+            vec_state, action, **step_kwargs
+        )
+        packed = jnp.stack(
+            [
+                action.astype(jnp.float32),
+                logprob,
+                reward.astype(jnp.float32),
+                next_done.astype(jnp.float32),
+                value,
+                info["done_mask"].astype(jnp.float32),
+                info["episode_return"].astype(jnp.float32),
+                info["episode_length"].astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        aux = ({}, env.render_env0(vec_state) if capture_video else None)
+        new_done = (term | trunc).astype(jnp.float32)
+        return (
+            (new_vec_state, new_obs, new_done, lstm_state, key),
+            (obs, packed, aux),
+        )
+
+    (vec_state, obs, next_done, lstm_state, key), (
+        obs_t, packed, (desc, video)
+    ) = jax.lax.scan(
+        one_step, (vec_state, obs, next_done, lstm_state, key), gumbels
+    )
+    return (vec_state, obs, next_done, lstm_state, key,
+            _unpack(obs_t, packed, desc, video))

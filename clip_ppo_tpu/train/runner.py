@@ -46,6 +46,8 @@ class TrainState:
     obs: jax.Array
     next_done: jax.Array
     key: jax.Array
+    # (h, c) per env for the recurrent agent; None for feed-forward.
+    lstm_state: Any = None
 
 
 class Trainer:
@@ -94,11 +96,32 @@ class Trainer:
         capture_env0: bool = False,
         frozen_params: Any = None,
         mesh: Any = None,
+        recurrent: bool = False,
     ):
         self.cfg = cfg
         self.env = env
         self.num_iterations = num_iterations
         self.mesh = mesh
+        self.recurrent = recurrent
+        if recurrent:
+            # LSTM minibatches are env slices; CLIP embedding paths pair
+            # flat minibatches with precomputed embeddings and are not
+            # wired through the sequence replay (the reference has no
+            # recurrent agent at all — this is a beyond-parity feature).
+            assert mesh is None, (
+                "--recurrent with a dp mesh is not supported yet: LSTM "
+                "minibatches are env slices, which conflicts with the "
+                "env-sharded update layout"
+            )
+            assert embed_images_fn is None and embed_desc_fn is None \
+                and embed_random_fn is None and clip_lambda == 0.0, (
+                "--recurrent supports vanilla PPO only (no CLIP modality)"
+            )
+            assert cfg.num_envs % cfg.num_minibatches == 0, (
+                f"recurrent PPO minibatches over envs: num_envs="
+                f"{cfg.num_envs} not divisible by "
+                f"num_minibatches={cfg.num_minibatches}"
+            )
         if mesh is not None:
             assert cfg.num_envs % mesh.shape["dp"] == 0, (
                 f"num_envs={cfg.num_envs} not divisible by "
@@ -186,6 +209,13 @@ class Trainer:
         if self.view_mode:
             obs = self.env.observe_view_fn(vec_state)
         opt_state = self.optimizer.init(params)
+        lstm_state = None
+        if self.recurrent:
+            from clip_ppo_tpu.models import recurrent as rec
+
+            lstm_state = rec.init_zero_state(
+                self.env.num_envs, params["lstm"]["w_hh"].shape[0]
+            )
         state = TrainState(
             params=params,
             opt_state=opt_state,
@@ -193,6 +223,7 @@ class Trainer:
             obs=obs,
             next_done=jnp.zeros(self.env.num_envs, jnp.float32),
             key=key,
+            lstm_state=lstm_state,
         )
         return self.shard_state(state)
 
@@ -236,6 +267,30 @@ class Trainer:
     # -- fused path (no CLIP, or in-graph image CLIP) -------------------------
 
     def _rollout(self, state: TrainState, frozen, collect_desc=None):
+        if self.recurrent:
+            (vec_state, obs, next_done, lstm_state, key, batch) = (
+                rollout_mod.collect_rollout_recurrent(
+                    state.params,
+                    self.env,
+                    state.vec_state,
+                    state.obs,
+                    state.next_done,
+                    state.lstm_state,
+                    state.key,
+                    self.cfg.num_steps,
+                    self.disturbance,
+                    self.disturbance_semantics,
+                    self.features_fn,
+                    self.capture_env0,
+                    frozen,
+                    small_obs=self.view_mode,
+                )
+            )
+            state = dataclasses.replace(
+                state, vec_state=vec_state, obs=obs, next_done=next_done,
+                key=key, lstm_state=lstm_state,
+            )
+            return state, batch
         if collect_desc is None:
             # Only the text paths consume per-step description snapshots:
             # the fused text-table path here (embed_desc_fn), and the
@@ -271,14 +326,29 @@ class Trainer:
         the mesh path — so the dp-sharded batch is consumed shard-local
         with no cross-device reshard (each device flattens its own
         [T, N/dp] block)."""
-        next_value = agent_mod.get_value(
-            state.params, state.obs, self.outer_features_fn, frozen
-        )
+        if self.recurrent:
+            # Bootstrap value through the carried cell state, with the
+            # same done-reset the next rollout step would apply.
+            from clip_ppo_tpu.models import nature_cnn as cnn
+            from clip_ppo_tpu.models import recurrent as rec
+
+            feats = self.features_fn(state.params, state.obs, frozen)
+            h, _ = rec.masked_lstm_step(
+                state.params["lstm"], feats, state.lstm_state,
+                state.next_done,
+            )
+            next_value = cnn.dense(
+                state.params["critic"], rec.latent(feats, h)
+            )[..., 0]
+        else:
+            next_value = agent_mod.get_value(
+                state.params, state.obs, self.outer_features_fn, frozen
+            )
         advantages, returns = gae_mod.compute_gae(
             batch.rewards, batch.values, batch.dones,
             next_value, state.next_done, self.cfg.gamma, self.cfg.gae_lambda,
         )
-        return {
+        data = {
             "obs": batch.obs,
             "actions": batch.actions.astype(jnp.int32),
             "logprobs": batch.logprobs,
@@ -286,6 +356,10 @@ class Trainer:
             "returns": returns,
             "values": batch.values,
         }
+        if self.recurrent:
+            # the update's sequence replay needs the per-step boundaries
+            data["dones"] = batch.dones
+        return data
 
     @staticmethod
     def _flatten(data: dict) -> dict:
@@ -294,7 +368,8 @@ class Trainer:
         return {k: v.reshape((-1,) + v.shape[2:]) for k, v in data.items()}
 
     def _update(self, state: TrainState, data: dict, iteration: jax.Array,
-                clip_embeddings: Optional[jax.Array], frozen=None):
+                clip_embeddings: Optional[jax.Array], frozen=None,
+                initial_lstm_state=None):
         lr = (
             ppo_mod.anneal_lr(self.cfg, iteration, self.num_iterations)
             if self.cfg.anneal_lr
@@ -302,7 +377,15 @@ class Trainer:
         )
         opt_state = ppo_mod.set_learning_rate(state.opt_state, lr)
         key, k_update = jax.random.split(state.key)
-        if self.mesh is None:
+        if self.recurrent:
+            # data stays in rollout layout: minibatches are env slices
+            # whose [T] sequences replay from the iteration's initial
+            # LSTM state (ppo.update_epochs_recurrent).
+            params, opt_state, metrics = ppo_mod.update_epochs_recurrent(
+                state.params, opt_state, data, initial_lstm_state,
+                k_update, self.cfg, self.optimizer, self.features_fn,
+            )
+        elif self.mesh is None:
             params, opt_state, metrics = ppo_mod.update_epochs(
                 state.params, opt_state, self._flatten(data), k_update,
                 self.cfg, self.optimizer,
@@ -413,6 +496,10 @@ class Trainer:
         )(x, frozen)
 
     def _iteration(self, state: TrainState, iteration: jax.Array, frozen):
+        # The iteration's INITIAL cell state — the recurrent update replays
+        # each minibatch's sequences from it (the rollout advances
+        # state.lstm_state past the iteration).
+        initial_lstm_state = state.lstm_state
         state, batch = self._rollout(state, frozen)
         data = self._data2d(state, batch, frozen)
         clip_embeddings = None
@@ -454,7 +541,10 @@ class Trainer:
                 clip_embeddings = clip_embeddings.reshape(
                     (self.cfg.num_steps, self.cfg.num_envs, -1)
                 )
-        state, scalars = self._update(state, data, iteration, clip_embeddings, frozen)
+        state, scalars = self._update(
+            state, data, iteration, clip_embeddings, frozen,
+            initial_lstm_state=initial_lstm_state,
+        )
         episode_stats = self._episode_stats(batch, data["returns"])
         return state, scalars, episode_stats
 

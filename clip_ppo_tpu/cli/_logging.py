@@ -42,6 +42,7 @@ class IterationLogger:
         log_clip_loss: bool = False,
         verbose_fn: Optional[Callable[[int, dict], None]] = None,
         quiet: bool = False,
+        log_intrinsic: bool = False,
     ) -> None:
         self.writer = writer
         self.profiler = profiler
@@ -53,6 +54,7 @@ class IterationLogger:
         self.log_clip_loss = log_clip_loss
         self.verbose_fn = verbose_fn
         self.quiet = quiet  # non-main distributed processes stay silent
+        self.log_intrinsic = log_intrinsic
 
         self.global_step = 0  # settable on checkpoint resume
         self.start_time = time.time()
@@ -89,6 +91,14 @@ class IterationLogger:
             "charts/learning_rate", float(scalars["learning_rate"]),
             self.global_step,
         )
+        if self.log_intrinsic:
+            # beyond-reference: mean count bonus this iteration
+            # (--exploration-bonus, train/exploration.py). Gated so runs
+            # without the bonus keep the exact reference tag set.
+            self.writer.add_scalar(
+                "charts/intrinsic_reward",
+                float(scalars["intrinsic_reward"]), self.global_step,
+            )
         sps = int(self.sps)
         if not self.quiet:
             print(f"iteration {it}/{self.num_iterations} SPS: {sps}")

@@ -119,6 +119,14 @@ class Args:
     lstm_hidden: int = 128
     """LSTM hidden size for --recurrent"""
 
+    # Count-based exploration (no reference equivalent — LockedRoom /
+    # ObstructedMaze are honest negatives under vanilla PPO there too)
+    exploration_bonus: float = 0.0
+    """β > 0 adds a SimHash count bonus β/sqrt(N(obs bucket)) to the env
+    reward before GAE (Tang et al. 2017; train/exploration.py)"""
+    exploration_bits: int = 18
+    """SimHash bucket bits for --exploration-bonus (table size 2^bits)"""
+
     # TPU execution arguments (no reference equivalent — single-device there)
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
@@ -204,6 +212,8 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         capture_env0=args.capture_video,
         mesh=mesh,
         recurrent=args.recurrent,
+        exploration_bonus=args.exploration_bonus,
+        exploration_bits=args.exploration_bits,
     )
     if args.recurrent:
         from clip_ppo_tpu.models.recurrent import init_agent_params_recurrent
@@ -227,6 +237,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         writer, profiler, recorder, num_envs=args.num_envs,
         batch_size=args.batch_size, num_iterations=args.num_iterations,
         quiet=not is_main,
+        log_intrinsic=args.exploration_bonus > 0.0,
     )
 
     # K iterations per device dispatch (one host round trip per chunk,

@@ -33,7 +33,8 @@ from clip_ppo_tpu.train import rollout as rollout_mod
 SCALAR_KEYS = (
     "approx_kl", "clip_loss", "clipfrac", "entropy", "explained_variance",
     "first_clip_loss", "first_entropy", "first_pg_loss", "first_v_loss",
-    "learning_rate", "old_approx_kl", "policy_loss", "value_loss",
+    "intrinsic_reward", "learning_rate", "old_approx_kl", "policy_loss",
+    "value_loss",
 )
 
 
@@ -48,6 +49,8 @@ class TrainState:
     key: jax.Array
     # (h, c) per env for the recurrent agent; None for feed-forward.
     lstm_state: Any = None
+    # SimHash visit-count table for the exploration bonus; None when off.
+    counts: Any = None
 
 
 class Trainer:
@@ -97,12 +100,20 @@ class Trainer:
         frozen_params: Any = None,
         mesh: Any = None,
         recurrent: bool = False,
+        exploration_bonus: float = 0.0,
+        exploration_bits: int = 18,
     ):
         self.cfg = cfg
         self.env = env
         self.num_iterations = num_iterations
         self.mesh = mesh
         self.recurrent = recurrent
+        # Count-based exploration (train/exploration.py): β > 0 adds
+        # β/sqrt(N(bucket)) to the env reward before GAE. The projection
+        # matrix is created in init_state (it needs the obs shape).
+        self.exploration_bonus = float(exploration_bonus)
+        self.exploration_bits = exploration_bits
+        self._expl_proj = None
         if recurrent:
             # LSTM minibatches are env slices; CLIP embedding paths pair
             # flat minibatches with precomputed embeddings and are not
@@ -216,6 +227,19 @@ class Trainer:
             lstm_state = rec.init_zero_state(
                 self.env.num_envs, params["lstm"]["w_hh"].shape[0]
             )
+        counts = None
+        if self.exploration_bonus > 0.0:
+            from clip_ppo_tpu.train import exploration
+
+            obs_dim = int(np.prod(obs.shape[1:]))
+            # Drawn from the run seed so reruns bucket identically; tiny
+            # ([D, bits]), so closing over it in the jitted iteration is
+            # safe (unlike model weights — see frozen_params).
+            self._expl_proj = exploration.make_projection(
+                jax.random.PRNGKey(seed ^ 0x5EED), obs_dim,
+                self.exploration_bits,
+            )
+            counts = exploration.init_counts(self.exploration_bits)
         state = TrainState(
             params=params,
             opt_state=opt_state,
@@ -224,6 +248,7 @@ class Trainer:
             next_done=jnp.zeros(self.env.num_envs, jnp.float32),
             key=key,
             lstm_state=lstm_state,
+            counts=counts,
         )
         return self.shard_state(state)
 
@@ -250,6 +275,12 @@ class Trainer:
             obs=put(state.obs, batch_sharding(self.mesh)),
             next_done=put(state.next_done, batch_sharding(self.mesh)),
             key=replicate_tree(self.mesh, state.key),
+            # the count table is global state (all envs' visits land in
+            # it); replicated, with GSPMD reducing the scatter-adds
+            counts=(
+                None if state.counts is None
+                else replicate_tree(self.mesh, state.counts)
+            ),
         )
 
     def clip_lambda_eff(self, iteration: jax.Array) -> jax.Array:
@@ -501,6 +532,20 @@ class Trainer:
         # state.lstm_state past the iteration).
         initial_lstm_state = state.lstm_state
         state, batch = self._rollout(state, frozen)
+        intrinsic_mean = None
+        if self.exploration_bonus > 0.0:
+            # One hash matmul + one scatter-add for the whole rollout
+            # (train/exploration.py); the shaped reward feeds GAE, while
+            # episode stats keep reporting the raw env return.
+            from clip_ppo_tpu.train import exploration
+
+            idx = exploration.hash_obs(self._expl_proj, batch.obs)
+            counts, r_int = exploration.count_bonus(
+                state.counts, idx, self.exploration_bonus
+            )
+            batch = batch._replace(rewards=batch.rewards + r_int)
+            state = dataclasses.replace(state, counts=counts)
+            intrinsic_mean = jnp.mean(r_int)
         data = self._data2d(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:
@@ -544,6 +589,10 @@ class Trainer:
         state, scalars = self._update(
             state, data, iteration, clip_embeddings, frozen,
             initial_lstm_state=initial_lstm_state,
+        )
+        # always present (SCALAR_KEYS is a fixed packing order); 0 when off
+        scalars["intrinsic_reward"] = (
+            intrinsic_mean if intrinsic_mean is not None else jnp.float32(0.0)
         )
         episode_stats = self._episode_stats(batch, data["returns"])
         return state, scalars, episode_stats

@@ -8,10 +8,14 @@ is visible from one line.
 
     python benchmarks/learning_checks.py                 # default new-family sweep
     python benchmarks/learning_checks.py MiniGrid-LockedRoom-v0=2000000 ...
+    python benchmarks/learning_checks.py MiniGrid-MemoryS7-v0=1000000,recurrent
+    python benchmarks/learning_checks.py MiniGrid-LockedRoom-v0=2000000,eb=0.005
 
-Each positional arg is ``env_id[=total_timesteps]`` (default 1M steps).
-Runs execute sequentially in ONE process — on the tunneled TPU, rapid
-sequential client processes can wedge the tunnel (CLAUDE.md).
+Each positional arg is ``env_id[=total_timesteps][,opt...]`` (default 1M
+steps). Options: ``recurrent`` (LSTM agent, --recurrent) and ``eb=BETA``
+(SimHash count bonus, --exploration-bonus). Runs execute sequentially in
+ONE process — on the tunneled TPU, rapid sequential client processes can
+wedge the tunnel (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -39,14 +43,21 @@ def main() -> None:
 
     specs = sys.argv[1:] or list(DEFAULT)
     for spec in specs:
-        env_id, _, steps = spec.partition("=")
+        head, *opts = spec.split(",")
+        env_id, _, steps = head.partition("=")
         steps = int(steps or 1_000_000)
+        recurrent = "recurrent" in opts
+        eb = 0.0
+        for o in opts:
+            if o.startswith("eb="):
+                eb = float(o[3:])
         t0 = time.time()
         run_name = f"lcheck_{env_id}_{int(t0)}"
         out = ppo_minigrid.train(
             ppo_minigrid.Args(
                 env_id=env_id, seed=0, total_timesteps=steps,
                 capture_video=False, save_model=False,
+                recurrent=recurrent, exploration_bonus=eb,
             ),
             run_name=run_name,
         )
@@ -65,6 +76,8 @@ def main() -> None:
         k = min(200, max(len(ret) // 2, 1))
         line = {
             "metric": "learning_check", "env_id": env_id, "steps": steps,
+            **({"recurrent": True} if recurrent else {}),
+            **({"exploration_bonus": eb} if eb else {}),
             "sps": round(out["sps"], 1),
             "wall_s": round(time.time() - t0, 1),
             "episodes": len(ret),

@@ -526,26 +526,33 @@ class Trainer:
             out_specs=P(None, "dp"), check_vma=False,
         )(x, frozen)
 
+    def _apply_exploration(
+        self, state: TrainState, batch: rollout_mod.RolloutBatch
+    ) -> tuple[TrainState, rollout_mod.RolloutBatch, jax.Array]:
+        """Count-bonus reward shaping (train/exploration.py): one hash
+        matmul + one scatter-add for the whole rollout; the shaped reward
+        feeds GAE while episode stats keep reporting the raw env return.
+        Identity (bonus mean 0) when the feature is off. Shared by the
+        fused iteration and the split text-modality rollout half."""
+        if self.exploration_bonus <= 0.0:
+            return state, batch, jnp.float32(0.0)
+        from clip_ppo_tpu.train import exploration
+
+        idx = exploration.hash_obs(self._expl_proj, batch.obs)
+        counts, r_int = exploration.count_bonus(
+            state.counts, idx, self.exploration_bonus
+        )
+        batch = batch._replace(rewards=batch.rewards + r_int)
+        state = dataclasses.replace(state, counts=counts)
+        return state, batch, jnp.mean(r_int)
+
     def _iteration(self, state: TrainState, iteration: jax.Array, frozen):
         # The iteration's INITIAL cell state — the recurrent update replays
         # each minibatch's sequences from it (the rollout advances
         # state.lstm_state past the iteration).
         initial_lstm_state = state.lstm_state
         state, batch = self._rollout(state, frozen)
-        intrinsic_mean = None
-        if self.exploration_bonus > 0.0:
-            # One hash matmul + one scatter-add for the whole rollout
-            # (train/exploration.py); the shaped reward feeds GAE, while
-            # episode stats keep reporting the raw env return.
-            from clip_ppo_tpu.train import exploration
-
-            idx = exploration.hash_obs(self._expl_proj, batch.obs)
-            counts, r_int = exploration.count_bonus(
-                state.counts, idx, self.exploration_bonus
-            )
-            batch = batch._replace(rewards=batch.rewards + r_int)
-            state = dataclasses.replace(state, counts=counts)
-            intrinsic_mean = jnp.mean(r_int)
+        state, batch, intrinsic_mean = self._apply_exploration(state, batch)
         data = self._data2d(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:
@@ -591,9 +598,7 @@ class Trainer:
             initial_lstm_state=initial_lstm_state,
         )
         # always present (SCALAR_KEYS is a fixed packing order); 0 when off
-        scalars["intrinsic_reward"] = (
-            intrinsic_mean if intrinsic_mean is not None else jnp.float32(0.0)
-        )
+        scalars["intrinsic_reward"] = intrinsic_mean
         episode_stats = self._episode_stats(batch, data["returns"])
         return state, scalars, episode_stats
 
@@ -745,12 +750,22 @@ class Trainer:
 
     def _rollout_half(self, state: TrainState, frozen):
         state, batch = self._rollout(state, frozen, collect_desc=True)
+        state, batch, intrinsic_mean = self._apply_exploration(state, batch)
         data = self._data2d(state, batch, frozen)
+        # Ride the opaque update payload so the update half can report it
+        # under the fixed SCALAR_KEYS packing order.
+        data["intrinsic_reward"] = intrinsic_mean
         return state, data, self._episode_stats(batch, data["returns"]), batch.desc
 
     def _update_half(self, state: TrainState, data: dict, iteration: jax.Array,
                      clip_embeddings: Optional[jax.Array], frozen):
-        return self._update(state, data, iteration, clip_embeddings, frozen)
+        data = dict(data)
+        intrinsic_mean = data.pop("intrinsic_reward", jnp.float32(0.0))
+        state, scalars = self._update(
+            state, data, iteration, clip_embeddings, frozen
+        )
+        scalars["intrinsic_reward"] = intrinsic_mean
+        return state, scalars
 
     def run_rollout_half(self, state: TrainState):
         """Returns (state, data, episode_stats, desc) — ``data`` is the

@@ -105,6 +105,37 @@ def test_vanilla_trainer_has_no_counts():
     assert float(scalars["intrinsic_reward"]) == 0.0
 
 
+def test_split_path_packs_intrinsic_scalar():
+    """Regression: the split (text-modality) halves must emit the fixed
+    SCALAR_KEYS set — _pack_logs asserted on a missing intrinsic_reward
+    for ANY split-path run after the bonus landed (bonus on or off)."""
+    env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", 4)
+    cfg = PPOConfig(num_envs=4, num_steps=16, num_minibatches=2,
+                    update_epochs=1)
+    from clip_ppo_tpu.models.agent import init_agent_params
+
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions)
+
+    # bonus OFF (the reported failure) — fetch_logs exercises _pack_logs
+    tr = Trainer(cfg, env, num_iterations=2)
+    state = tr.init_state(params, 0)
+    state, data, ep, _desc = tr.run_rollout_half(state)
+    state, scalars = tr.run_update_half(state, data, 1, None)
+    scalars_np, _ = tr.fetch_logs(scalars, ep)
+    assert scalars_np["intrinsic_reward"] == 0.0
+
+    # bonus ON — shaping and counts thread through the split halves too
+    # (fresh params: the first trainer's donated dispatch consumed them)
+    params = init_agent_params(jax.random.PRNGKey(0), env.num_actions)
+    tr = Trainer(cfg, env, num_iterations=2, exploration_bonus=0.05)
+    state = tr.init_state(params, 0)
+    state, data, ep, _desc = tr.run_rollout_half(state)
+    state, scalars = tr.run_update_half(state, data, 1, None)
+    scalars_np, _ = tr.fetch_logs(scalars, ep)
+    assert scalars_np["intrinsic_reward"] > 0.0
+    assert int(jnp.sum(state.counts)) == cfg.num_steps * cfg.num_envs
+
+
 def test_cli_exploration_trains_and_logs_tag(tmp_path):
     from clip_ppo_tpu.cli import ppo_minigrid
 

@@ -71,7 +71,7 @@ class EnvParams:
     #            | "playground" | "gotodoor" | "fetch" | "gotoobject"
     #            | "putnear" | "babyai_goto" | "babyai_putnext"
     #            | "babyai_pickup" | "babyai_openred" | "babyai_opendoor"
-    #            | "babyai_actionobj"
+    #            | "babyai_actionobj" | "babyai_gotomaze"
     width: int
     height: int
     max_steps: int
@@ -126,6 +126,12 @@ class EnvParams:
     rb_target: bool = False
     # Memory S{n}Random variants: re-sample the hallway length per episode.
     random_length: bool = False
+    # BabyAI maze tier (GoToOpen / GoToObjMazeOpen): open_all_doors()
+    # after generation.
+    doors_open: bool = False
+    # BabyAI UnblockPickup: reject layouts where every object IS
+    # reachable (upstream requires at least one blocked object).
+    invert_reach: bool = False
     # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
     # room the agent starts in; num_quarters rides ``min_rooms``.
     agent_room: tuple[int, int] = (0, 0)
@@ -176,8 +182,10 @@ def parse_env_id(env_id: str) -> EnvParams:
     ``BabyAI-GoToRedBlueBall``, ``BabyAI-GoToObj[Ss]``,
     ``BabyAI-GoToLocal[SsNn]``, ``BabyAI-PutNextLocal[SsNn]``,
     ``BabyAI-PickupDist[Debug]``, the BabyAI Open tier
-    ``BabyAI-OpenRedDoor``, ``BabyAI-OpenDoor[Color|Loc][Debug]``, and
-    the mixed-verb ``BabyAI-ActionObjDoor``.
+    ``BabyAI-OpenRedDoor``, ``BabyAI-OpenDoor[Color|Loc][Debug]``,
+    the mixed-verb ``BabyAI-ActionObjDoor``, and the BabyAI maze tier
+    ``BabyAI-GoTo[Open]``, ``BabyAI-GoToObjMaze[Open|S4R2|S4|S5|S6|S7]``,
+    ``BabyAI-Pickup``, ``BabyAI-UnblockPickup``, ``BabyAI-Open``.
     Unknown ids raise with the supported list.
     """
     m = re.match(r"MiniGrid-DistShift(1|2)(-v\d+)?$", env_id)
@@ -487,6 +495,63 @@ def parse_env_id(env_id: str) -> EnvParams:
         # (0=goto, 1=pickup, 2=open), the (type, color) in target[1:3].
         return EnvParams("babyai_actionobj", 19, 19, 8 * 7 * 7, False,
                          success="babyai_action", num_objs=5)
+    m = re.match(r"BabyAI-GoTo(Open)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoTo[Open] (upstream minigrid/envs/babyai/goto.py —
+        # reconstructed): 3×3 RoomGrid of 8×8 rooms (22×22), 18
+        # distractors across the maze, connect_all doors (GoToOpen opens
+        # them all post-gen), reachability rejection, GoToInstr on a
+        # uniform distractor. max_steps follows this module's BabyAI
+        # convention (the RoomGrid default 8·room_size²).
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_goto", num_objs=18,
+            min_rooms=3, max_rooms=3, max_room_size=8,
+            doors_open=m.group(1) is not None,
+        )
+    m = re.match(r"BabyAI-GoToObjMaze(Open)?(?:S(\d+)(R2)?)?(-v\d+)?$",
+                 env_id)
+    if m:
+        # BabyAI GoToObjMaze{,Open,S4R2,S4,S5,S6,S7} (upstream goto.py —
+        # reconstructed): the GoTo generator with num_dists=1; S{n}
+        # variants shrink the rooms to n×n (3×3 rooms except S4R2's
+        # 2×2), Open opens all connect_all doors post-gen.
+        S = int(m.group(2)) if m.group(2) else 8
+        rows = 2 if m.group(3) else 3
+        side = (S - 1) * rows + 1
+        return EnvParams(
+            "babyai_gotomaze", side, side, 8 * S * S, False,
+            success="babyai_goto", num_objs=1,
+            min_rooms=rows, max_rooms=rows, max_room_size=S,
+            doors_open=m.group(1) is not None,
+        )
+    m = re.match(r"BabyAI-Open(-v\d+)?$", env_id)
+    if m:
+        # BabyAI Open (upstream minigrid/envs/babyai/open.py —
+        # reconstructed): the GoTo maze generator (3×3 × 8×8 rooms, 18
+        # distractors, no reachability check upstream); the mission
+        # names the color of a uniformly drawn door — any door of that
+        # color satisfies OpenInstr.
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_open_color", num_objs=18,
+            min_rooms=3, max_rooms=3, max_room_size=8,
+        )
+    m = re.match(r"BabyAI-(Unblock)?Pickup(-v\d+)?$", env_id)
+    if m:
+        # BabyAI Pickup / UnblockPickup (upstream
+        # minigrid/envs/babyai/pickup.py — reconstructed): the GoTo maze
+        # generator (3×3 × 8×8 rooms) with PickupInstr on a uniform
+        # distractor; Pickup places 18 distractors and requires all
+        # reachable, UnblockPickup places 20 and REJECTS layouts where
+        # everything is reachable (the agent must unblock something).
+        unblock = m.group(1) is not None
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_pickup", num_objs=20 if unblock else 18,
+            min_rooms=3, max_rooms=3, max_room_size=8,
+            invert_reach=unblock,
+        )
     m = re.match(r"BabyAI-GoToObj(?:S(\d+))?(-v\d+)?$", env_id)
     if m:
         # BabyAI GoToObj[S{4,6}] (upstream goto.py): one room with a
@@ -549,7 +614,9 @@ def parse_env_id(env_id: str) -> EnvParams:
             "BabyAI-GoToRedBlueBall, BabyAI-GoToObj[Ss], "
             "BabyAI-GoToLocal[SsNn], BabyAI-PutNextLocal[SsNn], "
             "BabyAI-PickupDist[Debug], BabyAI-OpenRedDoor, "
-            "BabyAI-OpenDoor[Color|Loc][Debug], BabyAI-ActionObjDoor "
+            "BabyAI-OpenDoor[Color|Loc][Debug], BabyAI-ActionObjDoor, "
+            "BabyAI-GoTo[Open], BabyAI-GoToObjMaze[Open|S4R2|S4|S5|S6|S7], "
+            "BabyAI-Pickup, BabyAI-UnblockPickup, BabyAI-Open "
             "(each with an optional -vK suffix)."
         )
     kind = m.group(1).lower()
@@ -1143,16 +1210,17 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
-def _keycorridor_reachable(open_wall: jax.Array, rows: int) -> jax.Array:
-    """All-rooms-reachable check on the 3×rows room graph.
+def _rooms_reachable(open_wall: jax.Array) -> jax.Array:
+    """All-rooms-reachable check on a cols×rows room graph.
 
     ``open_wall[i, j, k]`` marks a passable connection (a removed wall or
     any door, locked included — upstream ``connect_all``'s ``find_reach``
     traverses doors regardless of lock state) on wall ``k`` of room
     ``(i, j)``; dirs follow DIR_TO_VEC (0=+i, 1=+j, 2=−i, 3=−j).
-    Propagates from room (0, 0) for 3·rows steps (the graph diameter
+    Propagates from room (0, 0) for cols·rows steps (the graph diameter
     bound) and returns a scalar bool."""
-    reach = jnp.zeros((3, rows), bool).at[0, 0].set(True)
+    cols, rows = open_wall.shape[0], open_wall.shape[1]
+    reach = jnp.zeros((cols, rows), bool).at[0, 0].set(True)
 
     def body(_, reach):
         c0 = reach & open_wall[..., 0]
@@ -1160,7 +1228,7 @@ def _keycorridor_reachable(open_wall: jax.Array, rows: int) -> jax.Array:
         c2 = reach & open_wall[..., 2]
         c3 = reach & open_wall[..., 3]
         z_col = jnp.zeros((1, rows), bool)
-        z_row = jnp.zeros((3, 1), bool)
+        z_row = jnp.zeros((cols, 1), bool)
         reach = (
             reach
             | jnp.concatenate([z_col, c0[:-1]], 0)   # from (i,j) to (i+1,j)
@@ -1170,7 +1238,7 @@ def _keycorridor_reachable(open_wall: jax.Array, rows: int) -> jax.Array:
         )
         return reach
 
-    reach = jax.lax.fori_loop(0, 3 * rows, body, reach)
+    reach = jax.lax.fori_loop(0, cols * rows, body, reach)
     return jnp.all(reach)
 
 
@@ -1245,7 +1313,7 @@ def _reset_keycorridor(params: EnvParams, key: jax.Array) -> EnvState:
 
     def cond(carry):
         grid, open_wall, k, n = carry
-        return (~_keycorridor_reachable(open_wall, R)) & (n < 256)
+        return (~_rooms_reachable(open_wall)) & (n < 256)
 
     def body(carry):
         grid, open_wall, k, n = carry
@@ -1831,21 +1899,29 @@ def _objs_reachable(params: EnvParams, grid: jax.Array,
                     agent_pos: jax.Array) -> jax.Array:
     """BabyAI's ``check_objs_reachable`` (upstream
     minigrid/envs/babyai/core/roomgrid_level.py — reconstructed) as a
-    boolean: flood-fill from the agent over EMPTY cells (objects and
-    walls are reached but do not expand), then require every non-wall
-    object cell to be in the reached set — i.e. 4-adjacent to a filled
-    cell. Border walls are never EMPTY, so the jnp.roll wraparound can
-    never mark a cell across the edge."""
-    free = grid[..., 0] == EMPTY
+    boolean: flood-fill from the agent over EMPTY and DOOR cells
+    (upstream expands through any door regardless of open/locked state
+    — the agent could open it — while other objects and walls are
+    reached but do not expand), then require every non-wall object cell
+    to be in the reached set — i.e. 4-adjacent to a filled cell. Border
+    walls are never EMPTY, so the jnp.roll wraparound can never mark a
+    cell across the edge."""
+    free = (grid[..., 0] == EMPTY) | (grid[..., 0] == DOOR)
     reach = jnp.zeros((params.width, params.height), bool)
     reach = reach.at[agent_pos[0], agent_pos[1]].set(True)
 
-    def body(_, r):
+    def body(carry):
+        r, _ = carry
         grown = (r | jnp.roll(r, 1, 0) | jnp.roll(r, -1, 0)
-                 | jnp.roll(r, 1, 1) | jnp.roll(r, -1, 1))
-        return grown & free
+                 | jnp.roll(r, 1, 1) | jnp.roll(r, -1, 1)) & free
+        return grown, jnp.any(grown != r)
 
-    reach = jax.lax.fori_loop(0, params.width * params.height, body, reach)
+    # Fixed-point while_loop: W·H is the safe bound but the flood
+    # reaches its fixed point in ~diameter steps, so exit early (this
+    # runs inside every autoreset — resets are never differentiated,
+    # so while_loop is fine).
+    reach, _ = jax.lax.while_loop(
+        lambda c: c[1], body, (reach, jnp.bool_(True)))
     near = (reach | jnp.roll(reach, 1, 0) | jnp.roll(reach, -1, 0)
             | jnp.roll(reach, 1, 1) | jnp.roll(reach, -1, 1))
     objs = (grid[..., 0] != EMPTY) & (grid[..., 0] != WALL)
@@ -1961,6 +2037,159 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
         carrying=jnp.zeros(3, dtype=jnp.int8),
         step_count=jnp.int32(0),
         rng=k_next,
+        target=target,
+    )
+
+
+def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI maze tier sharing one mission generator (upstream
+    minigrid/envs/babyai/goto.py GoTo/GoToOpen/GoToObjMaze* and
+    pickup.py Pickup/UnblockPickup — reconstructed): a
+    ``max_rooms`` × ``min_rooms`` RoomGrid of ``max_room_size`` rooms.
+    gen_mission order matches upstream: place_agent() in a uniformly
+    random room, connect_all() (random walls get CLOSED random-color
+    doors until every room reaches (0, 0); the door offset on the wall
+    is sampled at add time, this module's RoomGrid convention), then
+    ``num_objs`` distractors — random key/ball/box × 6 colors with
+    duplicates allowed (all_unique=False), each in a uniformly random
+    room — then check_objs_reachable() rejection-samples the whole
+    layout (``invert_reach``: UnblockPickup instead REJECTS layouts
+    where everything is reachable). The mission object is a uniform
+    draw among the distractors → GoToInstr (success="babyai_goto") or
+    PickupInstr (success="babyai_pickup"). ``doors_open`` reproduces
+    open_all_doors() after generation (GoToOpen/GoToObjMazeOpen)."""
+    S, R, C = params.max_room_size, params.min_rooms, params.max_rooms
+    w, h = params.width, params.height
+    n = params.num_objs
+
+    base = np.zeros((w, h, 3), dtype=np.int8)
+    base[..., 0] = EMPTY
+    for i in range(C + 1):
+        base[i * (S - 1), :, :] = [WALL, GREY, 0]
+    for j in range(R + 1):
+        base[:, j * (S - 1), :] = [WALL, GREY, 0]
+    base = jnp.asarray(base)
+
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+
+    def room_interior(i, j):
+        return ((xs > i * (S - 1)) & (xs < (i + 1) * (S - 1))
+                & (ys > j * (S - 1)) & (ys < (j + 1) * (S - 1)))
+
+    def build(k):
+        (k_ari, k_arj, k_apos, k_adir, k_conn, k_dist, k_tgt) = (
+            jax.random.split(k, 7))
+        grid = base
+        ari = jax.random.randint(k_ari, (), 0, C)
+        arj = jax.random.randint(k_arj, (), 0, R)
+        agent_pos = _sample_free_cell(
+            k_apos, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
+        agent_dir = jax.random.randint(k_adir, (), 0, 4)
+
+        def cond(carry):
+            grid, open_wall, kk, it = carry
+            return (~_rooms_reachable(open_wall)) & (it < 256)
+
+        def body(carry):
+            grid, open_wall, kk, it = carry
+            kk, k_i, k_j, k_k, k_c, k_o = jax.random.split(kk, 6)
+            i = jax.random.randint(k_i, (), 0, C)
+            j = jax.random.randint(k_j, (), 0, R)
+            d = jax.random.randint(k_k, (), 0, 4)
+            di, dj = jnp.asarray(DIR_TO_VEC)[d]
+            ni, nj = i + di, j + dj
+            in_range = (ni >= 0) & (ni < C) & (nj >= 0) & (nj < R)
+            valid = in_range & ~open_wall[i, j, d]
+            off = jax.random.randint(k_o, (), 1, S - 1)
+            x = jnp.where(d == 0, (i + 1) * (S - 1),
+                          jnp.where(d == 2, i * (S - 1), i * (S - 1) + off))
+            y = jnp.where(d == 1, (j + 1) * (S - 1),
+                          jnp.where(d == 3, j * (S - 1), j * (S - 1) + off))
+            color = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+            door = jnp.stack([jnp.int8(DOOR), color, jnp.int8(CLOSED)])
+            grid = jnp.where(valid, grid.at[x, y].set(door), grid)
+            nc = jnp.clip(ni, 0, C - 1)
+            nr = jnp.clip(nj, 0, R - 1)
+            open_wall = jnp.where(
+                valid,
+                open_wall.at[i, j, d].set(True)
+                .at[nc, nr, (d + 2) % 4].set(True),
+                open_wall,
+            )
+            return grid, open_wall, kk, it + 1
+
+        grid, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (grid, jnp.zeros((C, R, 4), bool), k_conn, jnp.int32(0)))
+
+        if params.doors_open:
+            is_door = grid[..., 0] == DOOR
+            grid = grid.at[..., 2].set(
+                jnp.where(is_door, jnp.int8(OPEN), grid[..., 2]))
+
+        free = grid[..., 0] == EMPTY
+        free = free.at[agent_pos[0], agent_pos[1]].set(False)
+        obj_types = jnp.asarray([KEY, BALL, BOX], jnp.int8)
+        types = jnp.zeros((n,), jnp.int8)
+        colors = jnp.zeros((n,), jnp.int8)
+        for idx, kd in enumerate(jax.random.split(k_dist, n)):
+            k_t, k_c, k_ri, k_rj, k_p = jax.random.split(kd, 5)
+            t = obj_types[jax.random.randint(k_t, (), 0, 3)]
+            c = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+            ri = jax.random.randint(k_ri, (), 0, C)
+            rj = jax.random.randint(k_rj, (), 0, R)
+            pos = _sample_free_cell(k_p, free & room_interior(ri, rj))
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([t, c, jnp.int8(0)]))
+            types = types.at[idx].set(t)
+            colors = colors.at[idx].set(c)
+
+        if params.success == "babyai_open_color":
+            # Open: the mission names a uniform door's color (upstream
+            # open.py Open.gen_mission — a uniform element of the doors
+            # list; every door is one cell, so a uniform door CELL is
+            # the same draw).
+            dpos = _sample_free_cell(k_tgt, grid[..., 0] == DOOR)
+            target = (jnp.zeros(8, jnp.int32)
+                      .at[0].set(DOOR)
+                      .at[1].set(grid[dpos[0], dpos[1], 1]
+                                 .astype(jnp.int32)))
+        else:
+            t_idx = jax.random.randint(k_tgt, (), 0, n)
+            target = (jnp.zeros(8, jnp.int32)
+                      .at[0].set(types[t_idx].astype(jnp.int32))
+                      .at[1].set(colors[t_idx].astype(jnp.int32)))
+        return grid, agent_pos, agent_dir, target
+
+    def attempt(k):
+        k, k_b = jax.random.split(k)
+        grid, agent_pos, agent_dir, target = build(k_b)
+        if params.success == "babyai_open_color":
+            # Upstream Open skips check_objs_reachable.
+            ok = jnp.bool_(True)
+        else:
+            ok = _objs_reachable(params, grid, agent_pos)
+            if params.invert_reach:
+                ok = ~ok
+        return ok, k, grid, agent_pos, agent_dir, target
+
+    def cond(c):
+        return (~c[0]) & (c[-1] < 64)
+
+    def body(c):
+        return attempt(c[1])[:6] + (c[-1] + 1,)
+
+    out = jax.lax.while_loop(cond, body, attempt(key) + (jnp.int32(1),))
+    _, k_next, grid, agent_pos, agent_dir, target = out[:6]
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=jax.random.split(k_next)[1],
         target=target,
     )
 
@@ -2229,6 +2458,8 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_gotoobject(params, key)
     if params.kind == "babyai_goto":
         return _reset_babyai_goto(params, key)
+    if params.kind == "babyai_gotomaze":
+        return _reset_babyai_gotomaze(params, key)
     if params.kind == "babyai_putnext":
         return _reset_babyai_putnext(params, key)
     if params.kind == "babyai_pickup":
@@ -2574,6 +2805,20 @@ def step(
         if params.strict:
             fail = (action == A_PICKUP) & (carrying[0] != 0) & ~match
             terminated = terminated | fail
+    elif params.success == "babyai_open_color":
+        # BabyAI Open (upstream open.py + verifier.py OpenInstr on
+        # ObjDesc("door", color) — reconstructed): verified on toggle
+        # ACTIONS; success iff the front cell — post-toggle — is an OPEN
+        # door of the mission color (any matching door in the maze
+        # counts; the match set is color-wide, unlike the
+        # position-packed OpenDoor variant). The agent never moves on a
+        # toggle, so (fx, fy) is its front.
+        cell = grid[fx, fy]
+        succ = ((action == A_TOGGLE) & (cell[0] == DOOR)
+                & (cell[1].astype(jnp.int32) == state.target[1])
+                & (cell[2] == OPEN))
+        terminated = terminated | succ
+        reward = jnp.where(succ, time_reward, reward)
     elif params.success == "babyai_open":
         # BabyAI OpenInstr (upstream verifier.py — reconstructed):
         # verified only on toggle ACTIONS; success iff the front cell —

@@ -147,11 +147,21 @@ class JaxVectorEnv(HostVectorEnvMixin):
         if self.autoreset:
             # Same-step autoreset: finished envs restart immediately; their
             # rng chain advances because reset() stores a fresh subkey.
-            reset_keys = jax.vmap(lambda k: jax.random.split(k)[0])(env.rng)
-            fresh = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(
-                self.params, reset_keys
-            )
-            env = _select(done, fresh, env)
+            # The batch-scalar lax.cond skips the whole reset computation
+            # on steps where no episode ended — generation is the
+            # dominant per-step cost for the rejection-sampled RoomGrid
+            # families (e.g. BabyAI-GoTo: 18 distractors + connect_all +
+            # flood fill per attempt), and most steps reset nobody.
+            def _with_resets(env):
+                reset_keys = jax.vmap(
+                    lambda k: jax.random.split(k)[0])(env.rng)
+                fresh = jax.vmap(minigrid_core.reset, in_axes=(None, 0))(
+                    self.params, reset_keys
+                )
+                return _select(done, fresh, env)
+
+            env = jax.lax.cond(
+                jnp.any(done), _with_resets, lambda env: env, env)
 
         new_state = VecState(
             env=env,

@@ -92,7 +92,7 @@ def test_parse_babyai_ids():
     p = mg.parse_env_id("BabyAI-GoToLocal-v0")
     assert (p.width, p.num_objs) == (8, 8)
     with pytest.raises(ValueError, match="BabyAI-GoToLocal"):
-        mg.parse_env_id("BabyAI-UnblockPickup-v0")
+        mg.parse_env_id("BabyAI-BossLevel-v0")
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,7 @@ _FUZZ_IDS = (
     "MiniGrid-Playground-v0",
     "MiniGrid-PutNear-6x6-N2-v0",
     "MiniGrid-KeyCorridorS3R2-v0",
+    "BabyAI-GoToObjMazeS4R2-v0",
 )
 
 

@@ -71,8 +71,7 @@ REGISTERED = [
     "MiniGrid-Fetch-8x8-N3-v0",
     "MiniGrid-GoToObject-6x6-N2-v0", "MiniGrid-GoToObject-8x8-N2-v0",
     "MiniGrid-PutNear-6x6-N2-v0", "MiniGrid-PutNear-8x8-N3-v0",
-    # babyai/goto.py (the implemented BabyAI GoTo tier; the rest of the
-    # BabyAI namespace remains out of scope)
+    # babyai/goto.py (single-room GoTo tier)
     "BabyAI-GoToRedBallGrey-v0", "BabyAI-GoToRedBall-v0",
     "BabyAI-GoToRedBallNoDists-v0",
     "BabyAI-GoToObjS4-v0", "BabyAI-GoToObjS6-v0", "BabyAI-GoToObj-v0",
@@ -94,6 +93,15 @@ REGISTERED = [
     "BabyAI-OpenDoorColor-v0", "BabyAI-OpenDoorLoc-v0",
     # babyai/other.py (mixed-verb single-room level)
     "BabyAI-ActionObjDoor-v0",
+    # babyai maze tier (goto.py GoTo/GoToObjMaze*, pickup.py)
+    "BabyAI-GoTo-v0", "BabyAI-GoToOpen-v0",
+    "BabyAI-GoToObjMaze-v0", "BabyAI-GoToObjMazeOpen-v0",
+    "BabyAI-GoToObjMazeS4R2-v0", "BabyAI-GoToObjMazeS4-v0",
+    "BabyAI-GoToObjMazeS5-v0", "BabyAI-GoToObjMazeS6-v0",
+    "BabyAI-GoToObjMazeS7-v0",
+    "BabyAI-Pickup-v0", "BabyAI-UnblockPickup-v0",
+    # babyai maze tier (open.py Open)
+    "BabyAI-Open-v0",
 ]
 
 

@@ -28,6 +28,14 @@ LOSS_TAGS = (
 )
 
 
+def _hms(seconds: float) -> str:
+    """tqdm-style duration: MM:SS, or H:MM:SS from one hour up."""
+    s = max(int(seconds), 0)
+    if s >= 3600:
+        return f"{s // 3600}:{s // 60 % 60:02d}:{s % 60:02d}"
+    return f"{s // 60:02d}:{s % 60:02d}"
+
+
 class IterationLogger:
     def __init__(
         self,
@@ -60,6 +68,7 @@ class IterationLogger:
         self.start_time = time.time()
         self.last_returns: list[float] = []
         self.b_returns = None
+        self._iters_done = 0  # iterations handled by THIS logger (ETA basis)
 
     @property
     def sps(self) -> float:
@@ -100,8 +109,18 @@ class IterationLogger:
                 float(scalars["intrinsic_reward"]), self.global_step,
             )
         sps = int(self.sps)
+        self._iters_done += 1
         if not self.quiet:
-            print(f"iteration {it}/{self.num_iterations} SPS: {sps}")
+            # tqdm-style progress (the reference wraps the iteration loop
+            # in tqdm, `ppo_minigrid.py:235`): percent + elapsed + ETA from
+            # the mean per-iteration wall time since this logger started.
+            elapsed = time.time() - self.start_time
+            eta = elapsed / self._iters_done * max(self.num_iterations - it, 0)
+            print(
+                f"iteration {it}/{self.num_iterations} "
+                f"({100 * it // max(self.num_iterations, 1)}%) SPS: {sps} "
+                f"[{_hms(elapsed)}<{_hms(eta)}]"
+            )
         self.writer.add_scalar("charts/SPS", sps, self.global_step)
 
     def handle(self, it: int, scalars: dict, episode_stats: dict) -> None:

@@ -105,6 +105,13 @@ class Args:
     model_path: str = "checkpoints"
     """directory to save model checkpoints"""
 
+    resume_checkpoint: str = ""
+    """path to checkpoint file to resume training from (surface modeled on
+    `clip_ppo_minigrid.py:130-131`; the reference's vanilla script has no
+    resume). Restores the FULL TrainState — params, optimizer, env/loop
+    state, SimHash visit counts, LSTM carry — so the resumed run continues
+    bit-identically with an uninterrupted one"""
+
     # Visual disturbance arguments
     apply_disturbances: bool = False
     """whether to apply visual disturbances during training"""
@@ -228,10 +235,55 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         )
     state = trainer.init_state(params, args.seed)
 
+    def state_extras(st):
+        """Extra checkpoint payload: every TrainState leaf beyond
+        params/opt_state, so resume continues bit-identically. `counts`
+        (SimHash table) and `lstm_carry` are the leaves the reference
+        payload (`checkpoint_utils.py:21-29`) has no slot for —
+        `extra_models` is its own extension mechanism. Multi-host runs
+        skip this (env shards aren't host-local) and resume with the
+        reference's fresh-reset semantics instead."""
+        if jax.process_count() > 1:
+            return None
+        extras = {"loop": {
+            "vec_state": st.vec_state, "obs": st.obs,
+            "next_done": st.next_done, "key": st.key,
+        }}
+        if st.counts is not None:
+            extras["counts"] = st.counts
+        if st.lstm_state is not None:
+            extras["lstm_carry"] = st.lstm_state
+        return extras
+
     checkpoint_path = None
     if args.save_model:
         os.makedirs(args.model_path, exist_ok=True)
         checkpoint_path = os.path.join(args.model_path, run_name)
+
+    start_iteration = 1
+    resumed_global_step = 0
+    if args.resume_checkpoint:
+        from clip_ppo_tpu.io import load_checkpoint
+
+        templates = state_extras(state) or {}
+        params, opt_state, it, resumed_global_step, raw = load_checkpoint(
+            args.resume_checkpoint, state.params, state.opt_state,
+            extra_templates=templates,
+        )
+        state = dataclasses.replace(state, params=params, opt_state=opt_state)
+        extras = raw.get("extras", {})
+        if "loop" in extras:
+            loop = extras["loop"]
+            state = dataclasses.replace(
+                state, vec_state=loop["vec_state"], obs=loop["obs"],
+                next_done=loop["next_done"], key=loop["key"],
+            )
+        if "counts" in extras:
+            state = dataclasses.replace(state, counts=extras["counts"])
+        if "lstm_carry" in extras:
+            state = dataclasses.replace(state, lstm_state=extras["lstm_carry"])
+        state = trainer.shard_state(state)  # re-lay out on the dp mesh
+        start_iteration = it + 1
 
     logger = IterationLogger(
         writer, profiler, recorder, num_envs=args.num_envs,
@@ -239,12 +291,13 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         quiet=not is_main,
         log_intrinsic=args.exploration_bonus > 0.0,
     )
+    logger.global_step = resumed_global_step  # 0 or the resumed checkpoint's
 
     # K iterations per device dispatch (one host round trip per chunk,
     # chunk ends aligned to checkpoint boundaries) with the packed-log
     # fetch of each chunk overlapped with the next chunk's device compute.
     pipeline = LogPipeline(trainer, logger.handle)
-    iteration = 1
+    iteration = start_iteration
     while iteration <= args.num_iterations:
         k = chunk_length(
             args.iterations_per_dispatch, iteration, args.num_iterations,
@@ -264,6 +317,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
                 checkpoint_path, state.params, state.opt_state,
                 iteration - 1, logger.global_step, args,
                 b_returns=logger.b_returns,
+                extra_models=state_extras(state),
             )
     pipeline.flush()
 
@@ -273,6 +327,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             args.num_iterations, logger.global_step, args,
             b_returns=logger.b_returns,
             final=True,
+            extra_models=state_extras(state),
         )
 
     profiler.close()

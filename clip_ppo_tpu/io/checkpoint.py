@@ -122,17 +122,28 @@ def load_checkpoint(
     params_template: dict,
     opt_state_template: Any,
     backend: Optional[str] = None,
+    extra_templates: Optional[dict] = None,
 ) -> tuple[dict, Any, int, int, dict]:
     """Restore (params, opt_state, iteration, global_step, raw_checkpoint).
 
     Like the reference loader (`checkpoint_utils.py:49-80`), warns when
     resuming from a final checkpoint. Orbax checkpoint directories are
     auto-detected (or force with ``backend="orbax"``).
+
+    ``extra_templates``: optional ``{name: pytree}`` — for each name, the
+    stored ``{name}_state`` payload (written via ``extra_models``) is
+    restored onto the template's structure as device arrays and placed in
+    ``raw_checkpoint["extras"][name]``. Names missing from the checkpoint
+    are skipped, so callers can pass every state leaf they *could* restore
+    (e.g. SimHash counts, LSTM carry) and resume older checkpoints too.
     """
     if _backend(backend) == "orbax" or Path(path).is_dir():
         from clip_ppo_tpu.io.orbax_checkpoint import load_checkpoint_orbax
 
-        return load_checkpoint_orbax(path, params_template, opt_state_template)
+        return load_checkpoint_orbax(
+            path, params_template, opt_state_template,
+            extra_templates=extra_templates,
+        )
     print(f"Loading checkpoint from {path}")
     with open(path, "rb") as f:
         checkpoint = pickle.load(f)
@@ -143,6 +154,12 @@ def load_checkpoint(
     opt_state = jax.tree_util.tree_map(
         lambda t, a: jnp.asarray(a), opt_state_template, checkpoint["optimizer_state"]
     )
+    for name, template in (extra_templates or {}).items():
+        stored = checkpoint.get(f"{name}_state")
+        if stored is not None:
+            checkpoint.setdefault("extras", {})[name] = jax.tree_util.tree_map(
+                lambda t, a: jnp.asarray(a), template, stored
+            )
     iteration = checkpoint["iteration"]
     global_step = checkpoint["global_step"]
     print(f"Checkpoint loaded: iteration {iteration}, global_step {global_step}")

@@ -186,8 +186,8 @@ def load_checkpoint_orbax(
 
     params = onto(params_template, restored["agent_state"])
     opt_state = onto(opt_state_template, restored["optimizer_state"])
-    if extra_templates:
-        for name in extra_templates:
+    for name in extra_templates or {}:
+        if f"{name}_state" in restored:
             meta.setdefault("extras", {})[name] = onto(
                 extra_templates[name], restored[f"{name}_state"]
             )

@@ -28,9 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Persistent XLA compilation cache: the suite compiles hundreds of
 # programs deterministically; caching them across runs cuts repeat suite
 # time substantially on this single-CPU box.
+#
+# The write threshold is deliberately high (VERDICT r3 "what's weak" 6):
+# full-suite runs intermittently segfaulted *inside persistent-cache
+# writes* with a 1 s threshold (three runs, three crashes, different
+# tests each time; all green in isolation and with writes suppressed).
+# Only compiles that take >=8 s are worth persisting anyway — the
+# expensive mesh/train-iteration programs — so this keeps ~all of the
+# repeat-run speedup while cutting cache *writes* from hundreds per cold
+# run to a handful. Set CLIP_PPO_TEST_JAX_CACHE="" to disable entirely.
 _cache_dir = os.environ.get("CLIP_PPO_TEST_JAX_CACHE", "/tmp/clip_ppo_jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # older jax without the knobs — caching is best-effort
-    pass
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 8.0)
+    except Exception:  # older jax without the knobs — caching is best-effort
+        pass

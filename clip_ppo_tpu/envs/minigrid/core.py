@@ -135,6 +135,39 @@ class EnvParams:
     # ObstructedMaze Full family (2Dl*/1Q/2Q/Full): the (col, row) of the
     # room the agent starts in; num_quarters rides ``min_rooms``.
     agent_room: tuple[int, int] = (0, 0)
+    # BabyAI maze tier: place the agent in ``agent_room`` instead of a
+    # uniformly random room (FindObj / PickupAbove: place_agent(1, 1)).
+    fixed_agent_room: bool = False
+    # BabyAI FindObj/PickupAbove/OneRoom: the mission names the type
+    # only ("pick up the ball") — the verifier's color is wildcarded.
+    type_only: bool = False
+    # BabyAI PickupAbove: the mission object's room (col, row);
+    # (-1, -1) = a uniformly random room (FindObj).
+    obj_room: tuple[int, int] = (-1, -1)
+    # BabyAI PickupAbove: a door added before connect_all on wall ``dir``
+    # of room (i, j) — upstream's explicit add_door(1, 1, 3).
+    predoor: tuple[int, int, int] = (-1, -1, -1)
+    # BabyAI PutNext*Carrying: the agent starts holding the move object
+    # (upstream putnext.py reset() picks it off the grid post-gen).
+    start_carrying: bool = False
+    # BabyAI unlock tier (Unlock / GoToImpUnlock): one random room gets
+    # a LOCKED random-color door; the matching key lands in a different
+    # room; the agent starts outside the locked room. Unlock keeps the
+    # locked door color unique among connect_all doors with prob 1/2.
+    locked_room: bool = False
+    # GoToImpUnlock: the mission object is placed inside the locked
+    # room (GoToInstr on its type+color) instead of the door mission.
+    target_in_locked: bool = False
+    # GoToImpUnlock: exactly 2 distractors per non-locked room instead
+    # of uniformly random rooms (num_objs must be 2·(C·R − 1)).
+    dists_per_room: bool = False
+    # BabyAI two-door sequencing (OpenTwoDoors / OpenDoorsOrder):
+    # forced door colors (-1 = random) and the instruction composition —
+    # "before", "after", or "" = sample uniformly over
+    # single/before/after per episode (OpenDoorsOrder gen_mission).
+    first_color: int = -1
+    second_color: int = -1
+    comp: str = ""
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
@@ -160,6 +193,27 @@ class EnvState:
     # `ppo_minigrid.py:110` — the target still drives reward semantics.)
     target: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros(8, jnp.int32)
+    )
+    # BabyAI composite-instruction machine (success="babyai_seq") — up
+    # to 4 atomic instructions (upstream verifier.py trees bottom out at
+    # Seq(And(a,b), And(c,d))); zeros for every other family.
+    # Row layout [12]: [verb (0=unused, 1=goto, 2=open, 3=pickup,
+    # 4=putnext), type_a, color_a, type_b, color_b (putnext's fixed
+    # desc), flags (bit0: positional match set — loc-filtered ObjDesc;
+    # bit1: ActionInstr strict), p0..p5 (packed match positions + 1,
+    # 0 = empty slot)]. The composition lives in ``target``:
+    # target[0] = comp (0 = single slot 0, 1 = and(0,1),
+    # 2 = before(A, B), 3 = after(A, B)) with A = slots 0-1,
+    # B = slots 2-3 (slot verb 0 = absent half); target[1] = the
+    # SeqInstr-level strict bit (completing B first fails).
+    instr: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((4, 12), jnp.int32)
+    )
+    # Per-slot verifier state: [:, 0] done latch (upstream SeqInstr's
+    # a_done/b_done), [:, 1] carrying-a-tracked-object bit (positional
+    # ObjDesc identity tracking across pickup/drop).
+    instr_state: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((4, 2), jnp.int32)
     )
 
 
@@ -552,6 +606,123 @@ def parse_env_id(env_id: str) -> EnvParams:
             min_rooms=3, max_rooms=3, max_room_size=8,
             invert_reach=unblock,
         )
+    m = re.match(r"BabyAI-OneRoomS(\d+)(-v\d+)?$", env_id)
+    if m:
+        # BabyAI OneRoomS{8,12,16,20} (upstream
+        # minigrid/envs/babyai/other.py — reconstructed): one s×s room
+        # holding a single random-color ball; mission
+        # PickupInstr(ObjDesc("ball")) — type only.
+        size = int(m.group(1))
+        return EnvParams("babyai_goto", size, size, 8 * size * size, False,
+                         success="babyai_pickup", num_objs=0,
+                         type_only=True)
+    m = re.match(r"BabyAI-FindObjS(\d+)(-v\d+)?$", env_id)
+    if m:
+        # BabyAI FindObjS{5,6,7} (upstream other.py — reconstructed):
+        # 3×3 RoomGrid of s×s rooms; ONE random object in a uniformly
+        # random room, agent placed in the middle room (place_agent(1,
+        # 1)), connect_all; mission PickupInstr on the object's TYPE
+        # ("requires potentially exhaustive exploration"). max_steps
+        # follows this module's RoomGrid default 8·s².
+        s = int(m.group(1))
+        side = (s - 1) * 3 + 1
+        return EnvParams(
+            "babyai_gotomaze", side, side, 8 * s * s, False,
+            success="babyai_pickup", num_objs=1,
+            min_rooms=3, max_rooms=3, max_room_size=s,
+            fixed_agent_room=True, agent_room=(1, 1), type_only=True,
+        )
+    m = re.match(r"BabyAI-PickupAbove(-v\d+)?$", env_id)
+    if m:
+        # BabyAI PickupAbove (upstream pickup.py — reconstructed): 3×3
+        # RoomGrid of 8×8 rooms; a random object in the room ABOVE the
+        # middle (add_object(1, 0)), a guaranteed door on the middle
+        # room's top wall (add_door(1, 1, 3)), agent in the middle,
+        # connect_all; mission PickupInstr on the object's type
+        # ("requires to use the compass").
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_pickup", num_objs=1,
+            min_rooms=3, max_rooms=3, max_room_size=8,
+            fixed_agent_room=True, agent_room=(1, 1), obj_room=(1, 0),
+            predoor=(1, 1, 3), type_only=True,
+        )
+    m = re.match(r"BabyAI-GoToDoor(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToDoor (upstream goto.py — reconstructed): 3×3
+        # RoomGrid of 7×7 rooms; the center room gets one door per wall
+        # in independent random colors (duplicates allowed); mission
+        # GoToInstr("door", color of a uniform door) — any door of that
+        # color matches.
+        return EnvParams("babyai_objdoor", 19, 19, 8 * 7 * 7, False,
+                         success="babyai_goto", num_objs=0,
+                         max_room_size=7)
+    m = re.match(r"BabyAI-GoToObjDoor(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToObjDoor (upstream goto.py — reconstructed): 6×6
+        # center room with 8 distractors (duplicates allowed) plus one
+        # random-color door per wall; mission GoToInstr on a uniform
+        # draw over all 12.
+        return EnvParams("babyai_objdoor", 16, 16, 8 * 6 * 6, False,
+                         success="babyai_goto", num_objs=8,
+                         max_room_size=6)
+    m = re.match(r"BabyAI-PutNextS(\d+)N(\d+)(Carrying)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI PutNextS{s}N{n}[Carrying] (upstream putnext.py —
+        # reconstructed): two s×s rooms with the dividing wall removed,
+        # n DISTINCT objects per side; move a uniform left object next
+        # to a uniform right object (pair coin-flipped); Carrying
+        # variants start with the move object in hand.
+        s, n = int(m.group(1)), int(m.group(2))
+        return EnvParams(
+            "babyai_putnext2", 2 * s - 1, s, 8 * s * s, False,
+            success="babyai_putnext", num_objs=n, max_room_size=s,
+            start_carrying=m.group(3) is not None,
+        )
+    m = re.match(r"BabyAI-MoveTwoAcrossS(\d+)N(\d+)(-v\d+)?$", env_id)
+    if m:
+        # BabyAI MoveTwoAcrossS{5N2,8N9} (upstream other.py —
+        # reconstructed): the PutNext layout; BeforeInstr of two
+        # PutNextInstr — a left object next to a right one, THEN a
+        # right object next to a left one.
+        s, n = int(m.group(1)), int(m.group(2))
+        return EnvParams(
+            "babyai_putnext2", 2 * s - 1, s, 16 * s * s, False,
+            success="babyai_seq", num_objs=n, max_room_size=s,
+        )
+    m = re.match(r"BabyAI-Open(RedBlue|Two)Doors(Debug)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI OpenTwoDoors / OpenRedBlueDoors[Debug] (upstream
+        # open.py — reconstructed): 6×6 center room, door 1 west / door
+        # 2 east; BeforeInstr(OpenInstr(d1, strict=Debug),
+        # OpenInstr(d2)). RedBlue forces red-then-blue.
+        rb = m.group(1) == "RedBlue"
+        return EnvParams(
+            "babyai_twodoors", 16, 16, 20 * 6 * 6, False,
+            success="babyai_seq", comp="before",
+            first_color=RED if rb else -1,
+            second_color=BLUE if rb else -1,
+            strict=m.group(2) is not None,
+        )
+    m = re.match(r"BabyAI-OpenDoorsOrderN(\d+)(Debug)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI OpenDoorsOrderN{2,4}[Debug] (upstream open.py —
+        # reconstructed): N distinct-color doors on distinct walls of
+        # the 6×6 center room; a uniform per-episode mode over {open d1;
+        # open d1 then d2; open d1 after you open d2}.
+        return EnvParams(
+            "babyai_twodoors", 16, 16, 20 * 6 * 6, False,
+            success="babyai_seq", num_objs=int(m.group(1)),
+            strict=m.group(2) is not None,
+        )
+    m = re.match(r"BabyAI-PickupLoc(-v\d+)?$", env_id)
+    if m:
+        # BabyAI PickupLoc (upstream pickup.py — LevelGen single room,
+        # 8 distractors, location language): PickupInstr over a
+        # rejection-sampled ObjDesc(type, color?, loc?) fixed against
+        # the agent's start pose.
+        return EnvParams("babyai_pickuploc", 8, 8, 8 * 8 * 8, False,
+                         success="babyai_seq", num_objs=8)
     m = re.match(r"BabyAI-GoToObj(?:S(\d+))?(-v\d+)?$", env_id)
     if m:
         # BabyAI GoToObj[S{4,6}] (upstream goto.py): one room with a
@@ -1994,7 +2165,12 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
     reject-the-whole-layout rule because the predicate factorizes per
     distractor."""
     k_room, k_tgt, k_next = jax.random.split(key, 3)
-    fixed_target = (params.target_color >= 0) or params.rb_target
+    # type_only (OneRoomS{n}, upstream other.py — reconstructed): object
+    # 0 is a ball of RANDOM color and the mission is type-only
+    # (PickupInstr(ObjDesc("ball"))).
+    fixed_target = (
+        (params.target_color >= 0) or params.rb_target or params.type_only
+    )
     n_objs = params.num_objs + (1 if fixed_target else 0)
 
     def sample_objs(k):
@@ -2017,15 +2193,17 @@ def _reset_babyai_goto(params: EnvParams, key: jax.Array) -> EnvState:
                   .astype(jnp.int8))
         if fixed_target:
             types = types.at[0].set(BALL)
-            colors = colors.at[0].set(RED)
+            if not params.type_only:
+                colors = colors.at[0].set(RED)
         return types, colors
 
     grid, agent_pos, agent_dir, types, colors = _babyai_room(
         params, k_room, sample_objs)
 
     if fixed_target:
-        target = (jnp.zeros(8, jnp.int32).at[0].set(BALL)
-                  .at[1].set(colors[0].astype(jnp.int32)))
+        tcol = (jnp.int32(-1) if params.type_only
+                else colors[0].astype(jnp.int32))
+        target = jnp.zeros(8, jnp.int32).at[0].set(BALL).at[1].set(tcol)
     else:
         t = jax.random.randint(k_tgt, (), 0, n_objs)
         target = jnp.zeros(8, jnp.int32).at[0].set(
@@ -2081,11 +2259,39 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
         (k_ari, k_arj, k_apos, k_adir, k_conn, k_dist, k_tgt) = (
             jax.random.split(k, 7))
         grid = base
-        ari = jax.random.randint(k_ari, (), 0, C)
-        arj = jax.random.randint(k_arj, (), 0, R)
+        if params.fixed_agent_room:
+            # FindObj/PickupAbove: upstream place_agent(1, 1).
+            ari = jnp.int32(params.agent_room[0])
+            arj = jnp.int32(params.agent_room[1])
+        else:
+            ari = jax.random.randint(k_ari, (), 0, C)
+            arj = jax.random.randint(k_arj, (), 0, R)
         agent_pos = _sample_free_cell(
             k_apos, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
         agent_dir = jax.random.randint(k_adir, (), 0, 4)
+
+        open_wall0 = jnp.zeros((C, R, 4), bool)
+        if params.predoor[0] >= 0:
+            # PickupAbove: a guaranteed door on one wall (random offset
+            # + color) before connect_all, which then sees the rooms as
+            # already joined.
+            pi, pj, pd = params.predoor
+            k_conn, k_pc, k_po = jax.random.split(k_conn, 3)
+            off = jax.random.randint(k_po, (), 1, S - 1)
+            if pd == 0:
+                px, py = (pi + 1) * (S - 1), pj * (S - 1) + off
+            elif pd == 2:
+                px, py = pi * (S - 1), pj * (S - 1) + off
+            elif pd == 1:
+                px, py = pi * (S - 1) + off, (pj + 1) * (S - 1)
+            else:
+                px, py = pi * (S - 1) + off, pj * (S - 1)
+            pcol = jax.random.randint(k_pc, (), 0, 6).astype(jnp.int8)
+            grid = grid.at[px, py].set(
+                jnp.stack([jnp.int8(DOOR), pcol, jnp.int8(CLOSED)]))
+            ndi, ndj = DIR_TO_VEC[pd]
+            open_wall0 = (open_wall0.at[pi, pj, pd].set(True)
+                          .at[pi + ndi, pj + ndj, (pd + 2) % 4].set(True))
 
         def cond(carry):
             grid, open_wall, kk, it = carry
@@ -2120,8 +2326,7 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
             return grid, open_wall, kk, it + 1
 
         grid, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (grid, jnp.zeros((C, R, 4), bool), k_conn, jnp.int32(0)))
+            cond, body, (grid, open_wall0, k_conn, jnp.int32(0)))
 
         if params.doors_open:
             is_door = grid[..., 0] == DOOR
@@ -2137,8 +2342,14 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
             k_t, k_c, k_ri, k_rj, k_p = jax.random.split(kd, 5)
             t = obj_types[jax.random.randint(k_t, (), 0, 3)]
             c = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
-            ri = jax.random.randint(k_ri, (), 0, C)
-            rj = jax.random.randint(k_rj, (), 0, R)
+            if idx == 0 and params.obj_room[0] >= 0:
+                # PickupAbove: the mission object goes in a fixed room
+                # (upstream add_object(1, 0)).
+                ri = jnp.int32(params.obj_room[0])
+                rj = jnp.int32(params.obj_room[1])
+            else:
+                ri = jax.random.randint(k_ri, (), 0, C)
+                rj = jax.random.randint(k_rj, (), 0, R)
             pos = _sample_free_cell(k_p, free & room_interior(ri, rj))
             free = free.at[pos[0], pos[1]].set(False)
             grid = grid.at[pos[0], pos[1]].set(
@@ -2158,25 +2369,35 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
                                  .astype(jnp.int32)))
         else:
             t_idx = jax.random.randint(k_tgt, (), 0, n)
+            # FindObj/PickupAbove missions name the type only ("pick up
+            # the ball") — the verifier's color is a wildcard.
+            tcol = (jnp.int32(-1) if params.type_only
+                    else colors[t_idx].astype(jnp.int32))
             target = (jnp.zeros(8, jnp.int32)
                       .at[0].set(types[t_idx].astype(jnp.int32))
-                      .at[1].set(colors[t_idx].astype(jnp.int32)))
+                      .at[1].set(tcol))
         return grid, agent_pos, agent_dir, target
 
     def attempt(k):
         k, k_b = jax.random.split(k)
         grid, agent_pos, agent_dir, target = build(k_b)
-        if params.success == "babyai_open_color":
-            # Upstream Open skips check_objs_reachable.
-            ok = jnp.bool_(True)
-        else:
-            ok = _objs_reachable(params, grid, agent_pos)
-            if params.invert_reach:
-                ok = ~ok
+        # Every family here runs the reachability rejection — including
+        # Open: upstream Open.gen_mission calls check_objs_reachable()
+        # right after add_distractors(18) (minigrid/envs/babyai/open.py,
+        # from babyai Level_Open), so blocked layouts are resampled.
+        ok = _objs_reachable(params, grid, agent_pos)
+        if params.invert_reach:
+            ok = ~ok
         return ok, k, grid, agent_pos, agent_dir, target
 
+    # UnblockPickup (invert_reach) *requires* an unreachable object; a
+    # higher cap (matching the connect_all bound) keeps the probability
+    # of silently returning an all-reachable layout negligible. Upstream
+    # retries unboundedly; 256 draws of a >=1/3 event miss with p<1e-45.
+    max_attempts = 256 if params.invert_reach else 64
+
     def cond(c):
-        return (~c[0]) & (c[-1] < 64)
+        return (~c[0]) & (c[-1] < max_attempts)
 
     def body(c):
         return attempt(c[1])[:6] + (c[-1] + 1,)
@@ -2418,6 +2639,338 @@ def _reset_babyai_actionobj(params: EnvParams, key: jax.Array) -> EnvState:
     )
 
 
+def _reset_babyai_objdoor(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI GoToDoor / GoToObjDoor (upstream
+    minigrid/envs/babyai/goto.py — reconstructed): a 3×3 RoomGrid of
+    ``max_room_size`` rooms; the center room gets ``num_objs``
+    distractors (duplicates allowed, all_unique=False) and one closed
+    unlocked door per wall at a random offset, each in an independent
+    random color (add_door's default — duplicates allowed). The agent
+    starts inside. The mission is always GoToInstr on a uniform draw
+    over the doors (GoToDoor, num_objs=0 — "go to the {color} door",
+    any door of that color matches) or over distractors + doors
+    (GoToObjDoor)."""
+    (k_obj, k_place, k_dcol, k_doff, k_agent, k_dir, k_pick, k_next) = (
+        jax.random.split(key, 8))
+    S = params.max_room_size
+    W = S - 1  # wall pitch
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * W, :, :] = [WALL, GREY, 0]
+        grid[:, t * W, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    dcols = jax.random.randint(k_dcol, (4,), 0, 6).astype(jnp.int8)
+    offs = jax.random.randint(k_doff, (4,), W + 1, 2 * W)
+    ddx = jnp.stack([jnp.int32(2 * W), offs[1], jnp.int32(W), offs[3]])
+    ddy = jnp.stack([offs[0], jnp.int32(2 * W), offs[2], jnp.int32(W)])
+    for i in range(4):
+        grid = grid.at[ddx[i], ddy[i]].set(
+            jnp.stack([jnp.int8(DOOR), dcols[i], jnp.int8(CLOSED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    interior = (xs > W) & (xs < 2 * W) & (ys > W) & (ys < 2 * W)
+    free = (grid[..., 0] == EMPTY) & interior
+    agent_pos = _sample_free_cell(k_agent, free)
+    free = free.at[agent_pos[0], agent_pos[1]].set(False)
+    n = params.num_objs
+    types = jnp.zeros((max(n, 1),), jnp.int8)
+    colors = jnp.zeros((max(n, 1),), jnp.int8)
+    if n:
+        k_t, k_c = jax.random.split(k_obj)
+        types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
+            jax.random.randint(k_t, (n,), 0, 3)]
+        colors = jax.random.randint(k_c, (n,), 0, 6).astype(jnp.int8)
+        for i, kp in enumerate(jax.random.split(k_place, n)):
+            pos = _sample_free_cell(kp, free)
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([types[i], colors[i], jnp.int8(0)]))
+
+    pick = jax.random.randint(k_pick, (), 0, n + 4)
+    is_door = pick >= n
+    di = jnp.clip(pick - n, 0, 3)
+    oi = jnp.clip(pick, 0, max(n - 1, 0))
+    ttype = jnp.where(is_door, DOOR, types[oi].astype(jnp.int32))
+    tcol = jnp.where(is_door, dcols[di].astype(jnp.int32),
+                     colors[oi].astype(jnp.int32))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32).at[0].set(ttype).at[1].set(tcol),
+    )
+
+
+def _reset_babyai_putnext2(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI PutNext[Carrying] and MoveTwoAcross (upstream
+    minigrid/envs/babyai/putnext.py and other.py — reconstructed): a
+    1-row × 2-col RoomGrid of ``max_room_size`` rooms with the dividing
+    wall REMOVED (remove_wall(0, 0, 0) — one wide open room whose
+    halves still partition object placement); ``num_objs`` objects per
+    half, all 2·num_objs DISTINCT (add_distractors' all_unique spans
+    every placed object).
+
+    PutNext (success="babyai_putnext"): move a uniform left object next
+    to a uniform right object, the pair flipped by a coin (upstream's
+    ``if self._rand_bool(): a, b = b, a``); ``start_carrying`` lifts
+    the move object off the grid into the agent's hand (upstream
+    PutNext.reset()).
+
+    MoveTwoAcross (success="babyai_seq"): BeforeInstr of two
+    PutNextInstr — move a left object next to a right one, THEN a right
+    object next to a left one (slots 0 and 2; comp=2)."""
+    (k_obj, k_place, k_agent, k_dir, k_a, k_b, k_c, k_d, k_flip,
+     k_next) = jax.random.split(key, 10)
+    S = params.max_room_size
+    n = params.num_objs
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = grid[-1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = grid[:, -1, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    types, colors = _distinct_objects(k_obj, 2 * n)
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    left = xs < S - 1
+    right = xs > S - 1
+    free = grid[..., 0] == EMPTY
+    # upstream places the agent first (place_agent(0, 0) — left room)
+    agent_pos = _sample_free_cell(k_agent, free & left)
+    free = free.at[agent_pos[0], agent_pos[1]].set(False)
+    positions = jnp.zeros((2 * n, 2), jnp.int32)
+    for i, kp in enumerate(jax.random.split(k_place, 2 * n)):
+        half = left if i < n else right
+        pos = _sample_free_cell(kp, free & half)
+        free = free.at[pos[0], pos[1]].set(False)
+        grid = grid.at[pos[0], pos[1]].set(
+            jnp.stack([types[i], colors[i], jnp.int8(0)]))
+        positions = positions.at[i].set(pos)
+
+    ia = jax.random.randint(k_a, (), 0, n)               # left
+    ib = n + jax.random.randint(k_b, (), 0, n)           # right
+    t32 = lambda v: v.astype(jnp.int32)
+
+    if params.success == "babyai_seq":
+        # MoveTwoAcross: put L[a] next to R[b], then R[c] next to L[d].
+        ic = n + jax.random.randint(k_c, (), 0, n)
+        idx = jax.random.randint(k_d, (), 0, n)
+        row0 = (jnp.zeros(12, jnp.int32).at[0].set(4)
+                .at[1].set(t32(types[ia])).at[2].set(t32(colors[ia]))
+                .at[3].set(t32(types[ib])).at[4].set(t32(colors[ib])))
+        row2 = (jnp.zeros(12, jnp.int32).at[0].set(4)
+                .at[1].set(t32(types[ic])).at[2].set(t32(colors[ic]))
+                .at[3].set(t32(types[idx])).at[4].set(t32(colors[idx])))
+        instr = (jnp.zeros((4, 12), jnp.int32).at[0].set(row0)
+                 .at[2].set(row2))
+        return EnvState(
+            grid=grid,
+            agent_pos=agent_pos,
+            agent_dir=jax.random.randint(k_dir, (), 0, 4),
+            carrying=jnp.zeros(3, dtype=jnp.int8),
+            step_count=jnp.int32(0),
+            rng=k_next,
+            target=jnp.zeros(8, jnp.int32).at[0].set(2),
+            instr=instr,
+        )
+
+    flip = jax.random.randint(k_flip, (), 0, 2) == 1
+    mv = jnp.where(flip, ib, ia)
+    fx_ = jnp.where(flip, ia, ib)
+    target = (jnp.zeros(8, jnp.int32)
+              .at[0].set(t32(types[mv])).at[1].set(t32(colors[mv]))
+              .at[2].set(t32(types[fx_])).at[3].set(t32(colors[fx_])))
+    carrying = jnp.zeros(3, jnp.int8)
+    if params.start_carrying:
+        mp = positions[mv]
+        grid = grid.at[mp[0], mp[1]].set(
+            jnp.asarray([EMPTY, 0, 0], jnp.int8))
+        carrying = jnp.stack([types[mv], colors[mv], jnp.int8(0)])
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=carrying,
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=target,
+    )
+
+
+def _reset_babyai_twodoors(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI OpenTwoDoors / OpenRedBlueDoors / OpenDoorsOrderN{2,4}
+    [Debug] (upstream minigrid/envs/babyai/open.py — reconstructed):
+    3×3 RoomGrid of 6×6 rooms (16×16); the center room gets doors of
+    DISTINCT colors (_rand_subset of the 6).
+
+    OpenTwoDoors (comp="before"): door 1 on the west wall, door 2 on
+    the east wall ("facing opposite directions, so that the agent can't
+    see whether the door behind him is open" — needs memory); colors
+    forced by ``first_color``/``second_color`` (OpenRedBlueDoors:
+    red/blue) or a random distinct pair. Mission: BeforeInstr(
+    OpenInstr(door1, strict=Debug), OpenInstr(door2)).
+
+    OpenDoorsOrder (comp=""): ``num_objs`` ∈ {2, 4} doors on distinct
+    random walls; an ordered distinct pair (door1, door2) and a uniform
+    per-episode mode — open door1; open door1 then door2 (before); open
+    door1 after door2 (after). Debug stricts both OpenInstrs."""
+    (k_col, k_off, k_wall, k_agent, k_dir, k_pair, k_mode, k_next) = (
+        jax.random.split(key, 8))
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * 5, :, :] = [WALL, GREY, 0]
+        grid[:, t * 5, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    colors = jax.random.permutation(k_col, 6).astype(jnp.int8)
+    if params.first_color >= 0:
+        colors = colors.at[0].set(jnp.int8(params.first_color))
+        colors = colors.at[1].set(jnp.int8(params.second_color))
+    offs = jax.random.randint(k_off, (4,), 6, 10)
+    # wall w: 0=east, 1=south, 2=west, 3=north of the center room
+    wx = jnp.stack([jnp.int32(10), offs[1], jnp.int32(5), offs[3]])
+    wy = jnp.stack([offs[0], jnp.int32(10), offs[2], jnp.int32(5)])
+
+    strict = jnp.int32(2 if params.strict else 0)
+    if params.comp == "before":
+        # OpenTwoDoors: west then east, both doors always present
+        walls = jnp.asarray([2, 0], jnp.int32)
+        n_doors = 2
+        comp = jnp.int32(2)
+        order = jnp.asarray([0, 1], jnp.int32)
+        # upstream stricts only the FIRST OpenInstr (the Debug flag)
+        strict2 = jnp.int32(0)
+    else:
+        n_doors = params.num_objs
+        walls = jax.random.permutation(k_wall, 4)[:n_doors]
+        pair = jax.random.permutation(k_pair, n_doors)[:2]
+        order = pair.astype(jnp.int32)
+        mode = jax.random.randint(k_mode, (), 0, 3)
+        comp = jnp.asarray([0, 2, 3], jnp.int32)[mode]
+        strict2 = strict
+
+    for i in range(n_doors):
+        grid = grid.at[wx[walls[i]], wy[walls[i]]].set(
+            jnp.stack([jnp.int8(DOOR), colors[i], jnp.int8(CLOSED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    interior = (xs > 5) & (xs < 10) & (ys > 5) & (ys < 10)
+    agent_pos = _sample_free_cell(
+        k_agent, (grid[..., 0] == EMPTY) & interior)
+
+    c1 = colors[order[0]].astype(jnp.int32)
+    c2 = colors[order[1]].astype(jnp.int32)
+    row0 = (jnp.zeros(12, jnp.int32).at[0].set(2).at[1].set(DOOR)
+            .at[2].set(c1).at[5].set(strict))
+    row2 = (jnp.zeros(12, jnp.int32).at[0].set(2).at[1].set(DOOR)
+            .at[2].set(c2).at[5].set(strict2))
+    # comp 0 (single): only slot 0 is verified; slot 2 stays absent
+    instr = jnp.zeros((4, 12), jnp.int32).at[0].set(row0)
+    instr = jnp.where(comp >= 2, instr.at[2].set(row2), instr)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32).at[0].set(comp),
+        instr=instr,
+    )
+
+
+def _reset_babyai_pickuploc(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI PickupLoc (upstream minigrid/envs/babyai/pickup.py —
+    PickupLoc = LevelGen(action_kinds=["pickup"], instr_kinds=
+    ["action"], num_rows=num_cols=1, num_dists=8, locations=True,
+    unblocking=False) — reconstructed): one 8×8 room, 8 distractors
+    (duplicates allowed), reachability rejection (unblocking=False →
+    check_objs_reachable). The instruction is a PickupInstr over a
+    rejection-sampled ObjDesc: uniform type, color ∈ {none} ∪ 6 colors,
+    and — locations=True — a location word with probability 1/2,
+    resampled until the description matches at least one object
+    (rand_obj_desc's loop). Location filtering follows verifier.py's
+    dot-product rule against the agent's START pose and packs the
+    matching positions into the instruction slot (positional set);
+    location-free descriptions match dynamically by type/color."""
+    k_room, k_desc, k_next = jax.random.split(key, 3)
+    n = params.num_objs
+
+    def sample_objs(k):
+        k_t, k_c = jax.random.split(k)
+        types = jnp.asarray([KEY, BALL, BOX], jnp.int8)[
+            jax.random.randint(k_t, (n,), 0, 3)]
+        colors = jax.random.randint(k_c, (n,), 0, 6).astype(jnp.int8)
+        return types, colors
+
+    grid, agent_pos, agent_dir, types, colors = _babyai_room(
+        params, k_room, sample_objs)
+
+    g0 = grid[..., 0].astype(jnp.int32)
+    g1 = grid[..., 1].astype(jnp.int32)
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    d1 = jnp.asarray(DIR_TO_VEC)[agent_dir]
+    d2 = jnp.asarray(DIR_TO_VEC)[(agent_dir + 1) % 4]
+    vx = xs - agent_pos[0]
+    vy = ys - agent_pos[1]
+    p1 = vx * d1[0] + vy * d1[1]
+    p2 = vx * d2[0] + vy * d2[1]
+    loc_masks = jnp.stack([p2 < 0, p2 > 0, p1 > 0, p1 < 0])  # l/r/f/b
+
+    obj_types = jnp.asarray([KEY, BALL, BOX], jnp.int32)
+
+    def sample_desc(c):
+        _, _, _, k = c
+        k, k_t, k_c, k_l, k_lv = jax.random.split(k, 5)
+        t = obj_types[jax.random.randint(k_t, (), 0, 3)]
+        col = jax.random.randint(k_c, (), -1, 6)
+        loc = jnp.where(jax.random.randint(k_l, (), 0, 2) == 1,
+                        jax.random.randint(k_lv, (), 0, 4), -1)
+        mask = (g0 == t) & ((col < 0) | (g1 == col))
+        mask = mask & jnp.where(loc >= 0, loc_masks[jnp.clip(loc, 0, 3)],
+                                True)
+        ok = jnp.any(mask)
+        return ok, jnp.stack([t, col, loc]), mask, k
+
+    def cond(c):
+        return ~c[0]
+
+    # rand_obj_desc retries unboundedly; a type always matching some
+    # object exists, so this terminates with probability 1 (the jitted
+    # while_loop mirrors the other rejection samplers in this module).
+    init = (jnp.bool_(False), jnp.zeros(3, jnp.int32),
+            jnp.zeros_like(g0, bool), k_desc)
+    _, desc, mask, _ = jax.lax.while_loop(
+        cond, sample_desc, sample_desc(init))
+
+    packed = jnp.where(mask, xs * params.height + ys + 1, 0).reshape(-1)
+    top = -jnp.sort(-packed)[:6]  # up to 6 matching positions
+    positional = desc[2] >= 0
+    row0 = (jnp.zeros(12, jnp.int32).at[0].set(3)
+            .at[1].set(jnp.where(positional, -1, desc[0]))
+            .at[2].set(jnp.where(positional, -1, desc[1]))
+            .at[5].set(jnp.where(positional, 1, 0)))
+    row0 = row0.at[6:12].set(jnp.where(positional, top, 0))
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32),
+        instr=jnp.zeros((4, 12), jnp.int32).at[0].set(row0),
+    )
+
+
 @partial(jax.jit, static_argnames=("params",))
 def reset(params: EnvParams, key: jax.Array) -> EnvState:
     if params.kind == "empty":
@@ -2470,6 +3023,14 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_babyai_opendoor(params, key)
     if params.kind == "babyai_actionobj":
         return _reset_babyai_actionobj(params, key)
+    if params.kind == "babyai_objdoor":
+        return _reset_babyai_objdoor(params, key)
+    if params.kind == "babyai_putnext2":
+        return _reset_babyai_putnext2(params, key)
+    if params.kind == "babyai_twodoors":
+        return _reset_babyai_twodoors(params, key)
+    if params.kind == "babyai_pickuploc":
+        return _reset_babyai_pickuploc(params, key)
     if params.kind == "putnear":
         return _reset_putnear(params, key)
     raise ValueError(params.kind)
@@ -2530,6 +3091,197 @@ def _move_obstacles(params: EnvParams, state: EnvState):
         )
         grid = grid.at[nx, ny].set(ball_cell)
     return grid, rng
+
+
+def _seq_verify(
+    params: EnvParams,
+    state: EnvState,
+    action: jax.Array,
+    grid: jax.Array,
+    new_pos: jax.Array,
+    new_dir: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    fobj: jax.Array,
+    fcol: jax.Array,
+    does_pickup: jax.Array,
+    does_drop: jax.Array,
+    carrying: jax.Array,
+):
+    """The BabyAI composite-instruction verifier (success="babyai_seq").
+
+    Emulates upstream minigrid/envs/babyai/core/verifier.py —
+    reconstructed — for instruction trees up to Seq(And(a,b), And(c,d)):
+    ``RoomGridLevel.step`` calls ``instrs.verify(action)`` after every
+    transition; AndInstr verifies each not-yet-successful child and
+    latches its status; BeforeInstr verifies A until it succeeds, then B
+    (B is additionally verified on the step A completes, and always in
+    strict mode — completing B first then fails); AfterInstr mirrors it
+    with B first. Child failures propagate only from the half currently
+    being verified (upstream discards the same-step B status except its
+    success). Success → time-scaled reward; failure → terminate with 0.
+
+    Atomic verifiers per slot (row layout in ``EnvState.instr``):
+    goto — post-step front cell matches, with the r3 stale-entry pickup
+    nuance; open — toggle leaving a matching front door open (strict
+    fails other front-door toggles); pickup — an actual pickup that
+    leaves the agent carrying a match (strict fails pickup actions that
+    hold a non-match, including re-picking a match already carried —
+    upstream's ``preCarrying`` guard routes that to the strict branch);
+    putnext — a drop action with a move-desc object cardinally adjacent
+    to a fixed-desc object.
+
+    Positional match sets (flag bit 0; loc-filtered ObjDesc, fixed
+    against the agent's START pose like ``reset_verifier``): goto/open
+    match packed front positions against the set; a pickup FROM a
+    tracked position marks the carry (upstream's object-identity
+    ``obj_set``), drop ACTIONS re-sync like ``update_objs_poss`` — the
+    stale pickup position is dropped from the set and a successful drop
+    of the tracked object adds its landing cell (capacity 6; overflow
+    silently drops a position, upstream is unbounded).
+
+    Returns (success, failure, new_instr, new_instr_state).
+    """
+    instr = state.instr
+    verbs = instr[:, 0]
+    ta, ca = instr[:, 1], instr[:, 2]
+    tb, cb = instr[:, 3], instr[:, 4]
+    positional = (instr[:, 5] & 1) == 1
+    strict = (instr[:, 5] & 2) == 2                # per-ActionInstr strict
+    pos_set = instr[:, 6:12]                       # [4, 6] packed+1
+    comp = state.target[0]
+    seq_strict = state.target[1] > 0               # SeqInstr strict
+    H = params.height
+    i32 = jnp.int32
+
+    def match(t_arr, c_arr, otype, ocol):
+        return (((t_arr < 0) | (otype.astype(i32) == t_arr))
+                & ((c_arr < 0) | (ocol.astype(i32) == c_arr)))
+
+    # -- atomic statuses this step ---------------------------------------
+    dir_vec = jnp.asarray(DIR_TO_VEC)
+    new_fwd = new_pos + dir_vec[new_dir]
+    nfx = jnp.clip(new_fwd[0], 0, params.width - 1)
+    nfy = jnp.clip(new_fwd[1], 0, params.height - 1)
+    ncell = grid[nfx, nfy]
+    front_packed = nfx * H + nfy + 1
+    fxy_packed = fx * H + fy + 1
+
+    goto_desc = (match(ta, ca, ncell[0], ncell[1])
+                 | (does_pickup & match(ta, ca, fobj, fcol)))
+    goto_succ = jnp.where(
+        positional, jnp.any(pos_set == front_packed, axis=1), goto_desc)
+
+    cell = grid[fx, fy]
+    open_ok = (action == A_TOGGLE) & (cell[0] == DOOR) & (cell[2] == OPEN)
+    open_succ = open_ok & jnp.where(
+        positional, jnp.any(pos_set == fxy_packed, axis=1),
+        match(ta, ca, jnp.int8(DOOR), cell[1]))
+    open_fail = (strict & (action == A_TOGGLE) & (cell[0] == DOOR)
+                 & ~open_succ)
+
+    carry_from_set = does_pickup & jnp.any(pos_set == fxy_packed, axis=1)
+    pick_succ = jnp.where(
+        positional, carry_from_set,
+        does_pickup & match(ta, ca, carrying[0], carrying[1]))
+    pick_fail = (strict & (action == A_PICKUP) & (carrying[0] != 0)
+                 & ~pick_succ)
+
+    g0 = grid[..., 0].astype(i32)
+    g1 = grid[..., 1].astype(i32)
+    ta3, ca3 = ta[:, None, None], ca[:, None, None]
+    tb3, cb3 = tb[:, None, None], cb[:, None, None]
+    isa = (((ta3 < 0) | (g0[None] == ta3)) & ((ca3 < 0) | (g1[None] == ca3))
+           & (g0[None] != WALL) & (g0[None] != EMPTY))
+    isb = (((tb3 < 0) | (g0[None] == tb3)) & ((cb3 < 0) | (g1[None] == cb3))
+           & (g0[None] != WALL) & (g0[None] != EMPTY))
+    near_b = (jnp.roll(isb, 1, 1) | jnp.roll(isb, -1, 1)
+              | jnp.roll(isb, 1, 2) | jnp.roll(isb, -1, 2))
+    put_succ = (action == A_DROP) & jnp.any(isa & near_b, axis=(1, 2))
+
+    succ_step = jnp.select(
+        [verbs == 1, verbs == 2, verbs == 3, verbs == 4],
+        [goto_succ, open_succ, pick_succ, put_succ], False)
+    fail_step = jnp.select(
+        [verbs == 2, verbs == 3], [open_fail, pick_fail], False)
+
+    # -- positional tracking (runs on the ACTION, like update_objs_poss) --
+    carry_pos = state.instr_state[:, 1]
+    new_carry = jnp.where(carry_from_set & (carry_pos == 0),
+                          fxy_packed, carry_pos)
+    drop_action = action == A_DROP
+    set_after = jnp.where(
+        drop_action & (carry_pos[:, None] > 0)
+        & (pos_set == carry_pos[:, None]),
+        0, pos_set)
+    empty = set_after == 0
+    first_empty = jnp.argmax(empty, axis=1)
+    should_add = does_drop & (new_carry > 0)
+    set_after = jnp.where(
+        should_add[:, None]
+        & (jnp.arange(6)[None, :] == first_empty[:, None]) & empty,
+        fxy_packed, set_after)
+    new_carry = jnp.where(does_drop, 0, new_carry)
+    new_instr = instr.at[:, 6:12].set(set_after)
+
+    # -- composition over the done latches --------------------------------
+    present = verbs > 0
+    d = state.instr_state[:, 0] > 0
+    slot = jnp.arange(4)
+
+    def group_done(dv, lo):
+        return ((dv[lo] | ~present[lo]) & (dv[lo + 1] | ~present[lo + 1]))
+
+    def gated(dv, gate_mask):
+        """And-group verification: update undone gated slots' latches;
+        their failures propagate (already-done slots are skipped)."""
+        nd = dv | (gate_mask & ~dv & succ_step & present)
+        gfail = gate_mask & ~dv & fail_step & present
+        return nd, gfail
+
+    A_was = group_done(d, 0)
+    B_was = group_done(d, 2)
+    in_A = slot < 2
+    in_B = slot >= 2
+
+    # comp 0/1: single (slot 0) / and (slots 0-1) — verified until done;
+    # the absent slot's ``present`` mask makes the shared gate harmless
+    nd_and, gf_and = gated(d, in_A)
+    succ_01 = group_done(nd_and, 0)
+    fail_01 = jnp.any(gf_and)
+
+    # comp 2: before(A, B)
+    gA = in_A & ~A_was
+    nd_b, gfA = gated(d, gA)
+    A_now = group_done(nd_b, 0)
+    gB = in_B & (A_was | A_now | seq_strict)
+    nd_b, gfB = gated(nd_b, gB)
+    B_now = group_done(nd_b, 2)
+    succ_before = (A_was | A_now) & B_now
+    fail_before = (jnp.where(A_was, jnp.any(gfB), jnp.any(gfA))
+                   | (seq_strict & ~A_was & ~A_now & B_now))
+
+    # comp 3: after(A, B) — B first
+    gB3 = in_B & ~B_was
+    nd_a, gfB3 = gated(d, gB3)
+    B_now3 = group_done(nd_a, 2)
+    gA3 = in_A & (B_was | B_now3 | seq_strict)
+    nd_a, gfA3 = gated(nd_a, gA3)
+    A_now3 = group_done(nd_a, 0)
+    succ_after = (B_was | B_now3) & A_now3
+    fail_after = (jnp.where(B_was, jnp.any(gfA3), jnp.any(gfB3))
+                  | (seq_strict & ~B_was & ~B_now3 & A_now3))
+
+    is_seq = comp >= 2
+    is_after = comp == 3
+    succ = jnp.where(is_seq, jnp.where(is_after, succ_after, succ_before),
+                     succ_01)
+    fail = jnp.where(is_seq, jnp.where(is_after, fail_after, fail_before),
+                     fail_01)
+    new_d = jnp.where(is_seq, jnp.where(is_after, nd_a, nd_b), nd_and)
+    new_instr_state = jnp.stack(
+        [new_d.astype(i32), new_carry.astype(i32)], axis=1)
+    return succ, fail, new_instr, new_instr_state
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -2812,10 +3564,12 @@ def step(
         # door of the mission color (any matching door in the maze
         # counts; the match set is color-wide, unlike the
         # position-packed OpenDoor variant). The agent never moves on a
-        # toggle, so (fx, fy) is its front.
+        # toggle, so (fx, fy) is its front. target[1] < 0 wildcards the
+        # color (UnlockLocal/KeyInBox: OpenInstr(ObjDesc("door"))).
         cell = grid[fx, fy]
         succ = ((action == A_TOGGLE) & (cell[0] == DOOR)
-                & (cell[1].astype(jnp.int32) == state.target[1])
+                & ((state.target[1] < 0)
+                   | (cell[1].astype(jnp.int32) == state.target[1]))
                 & (cell[2] == OPEN))
         terminated = terminated | succ
         reward = jnp.where(succ, time_reward, reward)
@@ -2883,6 +3637,17 @@ def step(
         terminated = terminated | wrong_pickup | drops
         reward = jnp.where(drops & landed_near, time_reward, reward)
 
+    instr, instr_state = state.instr, state.instr_state
+    if params.success == "babyai_seq":
+        # Composite instructions (upstream RoomGridLevel.step →
+        # instrs.verify — see `_seq_verify`).
+        seq_succ, seq_fail, instr, instr_state = _seq_verify(
+            params, state, action, grid, new_pos, new_dir, fx, fy,
+            fobj, fcol, does_pickup, does_drop, carrying,
+        )
+        terminated = terminated | seq_succ | seq_fail
+        reward = jnp.where(seq_succ, time_reward, reward)
+
     if params.kind == "dynobs":
         # Post-transition penalty exactly like upstream: forward into a
         # pre-move-occupied non-goal cell → reward −1, episode over.
@@ -2900,6 +3665,8 @@ def step(
         step_count=step_count,
         rng=state.rng,
         target=state.target,
+        instr=instr,
+        instr_state=instr_state,
     )
     return new_state, reward, terminated, truncated
 

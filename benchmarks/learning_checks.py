@@ -12,8 +12,10 @@ is visible from one line.
     python benchmarks/learning_checks.py MiniGrid-LockedRoom-v0=2000000,eb=0.005
 
 Each positional arg is ``env_id[=total_timesteps][,opt...]`` (default 1M
-steps). Options: ``recurrent`` (LSTM agent, --recurrent) and ``eb=BETA``
-(SimHash count bonus, --exploration-bonus). Runs execute sequentially in
+steps). Options: ``recurrent`` (LSTM agent, --recurrent), ``eb=BETA``
+(SimHash count bonus, --exploration-bonus), ``envs=N`` (--num-envs; the
+LSTM minibatch is an env slice, so more envs = more sequences per
+minibatch), and ``ent=C`` (--ent-coef). Runs execute sequentially in
 ONE process — on the tunneled TPU, rapid sequential client processes can
 wedge the tunnel (CLAUDE.md).
 """
@@ -48,9 +50,15 @@ def main() -> None:
         steps = int(steps or 1_000_000)
         recurrent = "recurrent" in opts
         eb = 0.0
+        num_envs = 8
+        ent = 0.01
         for o in opts:
             if o.startswith("eb="):
                 eb = float(o[3:])
+            elif o.startswith("envs="):
+                num_envs = int(o[5:])
+            elif o.startswith("ent="):
+                ent = float(o[4:])
         t0 = time.time()
         run_name = f"lcheck_{env_id}_{int(t0)}"
         out = ppo_minigrid.train(
@@ -58,6 +66,7 @@ def main() -> None:
                 env_id=env_id, seed=0, total_timesteps=steps,
                 capture_video=False, save_model=False,
                 recurrent=recurrent, exploration_bonus=eb,
+                num_envs=num_envs, ent_coef=ent,
             ),
             run_name=run_name,
         )

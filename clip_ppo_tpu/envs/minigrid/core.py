@@ -161,6 +161,16 @@ class EnvParams:
     # GoToImpUnlock: exactly 2 distractors per non-locked room instead
     # of uniformly random rooms (num_objs must be 2·(C·R − 1)).
     dists_per_room: bool = False
+    # BabyAI LevelGen tier (GoToSeq / Synth / SynthLoc / SynthSeq /
+    # MiniBossLevel / BossLevel[NoUnlock]): the probability a random
+    # room is locked per episode, the instruction grammar, the verb
+    # pool, and whether location language is sampled.
+    locked_room_prob: float = 0.0
+    instr_kinds: str = "action"          # comma-set of action|and|seq
+    action_kinds: str = "goto"           # comma-set of goto|pickup|open|putnext
+    locations: bool = False
+    # LevelGen unblocking=False (GoToSeq): run check_objs_reachable.
+    check_reachable: bool = False
     # BabyAI two-door sequencing (OpenTwoDoors / OpenDoorsOrder):
     # forced door colors (-1 = random) and the instruction composition —
     # "before", "after", or "" = sample uniformly over
@@ -605,6 +615,131 @@ def parse_env_id(env_id: str) -> EnvParams:
             success="babyai_pickup", num_objs=20 if unblock else 18,
             min_rooms=3, max_rooms=3, max_room_size=8,
             invert_reach=unblock,
+        )
+    m = re.match(r"BabyAI-GoToSeq(S5R2)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToSeq[S5R2] (upstream synth.py — reconstructed):
+        # LevelGen with action_kinds=["goto"], every instruction grammar
+        # kind, no locked room, no location language, unblocking=False
+        # (reachability rejection). S5R2 shrinks to 2×2 rooms of 5.
+        small = m.group(1) is not None
+        S, rows, dists = (5, 2, 7) if small else (8, 3, 18)
+        side = (S - 1) * rows + 1
+        return EnvParams(
+            "babyai_levelgen", side, side, 8 * S * S, False,
+            success="babyai_seq", num_objs=dists,
+            min_rooms=rows, max_rooms=rows, max_room_size=S,
+            instr_kinds="action,and,seq", action_kinds="goto",
+            check_reachable=True,
+        )
+    m = re.match(r"BabyAI-Synth(S5R2|Loc|Seq)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI Synth / SynthS5R2 / SynthLoc / SynthSeq (upstream
+        # synth.py — reconstructed): LevelGen over all four verbs;
+        # locked_room_prob=0.5 (implicit unlock missions), Loc adds
+        # location language, Seq adds and/seq grammar (with locations).
+        v = m.group(1) or ""
+        small = v == "S5R2"
+        S, rows, dists = (5, 2, 7) if small else (8, 3, 18)
+        side = (S - 1) * rows + 1
+        return EnvParams(
+            "babyai_levelgen", side, side, 8 * S * S, False,
+            success="babyai_seq", num_objs=dists,
+            min_rooms=rows, max_rooms=rows, max_room_size=S,
+            locked_room_prob=0.5,
+            instr_kinds="action,and,seq" if v == "Seq" else "action",
+            action_kinds="goto,pickup,open,putnext",
+            locations=v in ("Loc", "Seq"),
+        )
+    m = re.match(r"BabyAI-(Mini)?BossLevel(NoUnlock)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI MiniBossLevel / BossLevel / BossLevelNoUnlock (upstream
+        # synth.py — reconstructed): the full LevelGen grammar with
+        # location language. MiniBoss: 2×2 rooms of 5, 7 distractors,
+        # locked_room_prob=0.25; Boss: 3×3 of 8, 18, 0.5; NoUnlock: no
+        # locked rooms.
+        mini = m.group(1) is not None
+        S, rows, dists = (5, 2, 7) if mini else (8, 3, 18)
+        side = (S - 1) * rows + 1
+        prob = 0.25 if mini else (0.0 if m.group(2) else 0.5)
+        return EnvParams(
+            "babyai_levelgen", side, side, 8 * S * S, False,
+            success="babyai_seq", num_objs=dists,
+            min_rooms=rows, max_rooms=rows, max_room_size=S,
+            locked_room_prob=prob,
+            instr_kinds="action,and,seq",
+            action_kinds="goto,pickup,open,putnext", locations=True,
+        )
+    m = re.match(r"BabyAI-Unlock(-v\d+)?$", env_id)
+    if m:
+        # BabyAI Unlock (upstream minigrid/envs/babyai/unlock.py —
+        # reconstructed): 3×3 maze of 8×8 rooms; one random room gets a
+        # LOCKED random-color door, the matching key lands in a
+        # different room, connect_all (with prob 1/2 avoiding the
+        # locked color so the mission door is unique), 18 distractors,
+        # agent outside the locked room, reachability rejection ("no
+        # unblocking"). Mission: OpenInstr(door, color).
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_open_color", num_objs=18,
+            min_rooms=3, max_rooms=3, max_room_size=8, locked_room=True,
+        )
+    m = re.match(r"BabyAI-UnlockLocal(Dist)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI UnlockLocal[Dist] (upstream unlock.py): locked door +
+        # key in the center room; Dist adds 3 distinct distractors.
+        # Mission: OpenInstr(ObjDesc("door")) — type only.
+        return EnvParams(
+            "babyai_unlocklocal", 22, 22, 8 * 8 * 8, False,
+            success="babyai_open_color",
+            num_objs=3 if m.group(1) else 0,
+        )
+    m = re.match(r"BabyAI-KeyInBox(-v\d+)?$", env_id)
+    if m:
+        # BabyAI KeyInBox (upstream unlock.py): UnlockLocal with the
+        # key hidden in a random-color box (toggle reveals it).
+        return EnvParams(
+            "babyai_unlocklocal", 22, 22, 8 * 8 * 8, False,
+            success="babyai_open_color", key_in_box=True,
+        )
+    m = re.match(r"BabyAI-UnlockPickup(Dist)?(-v\d+)?$", env_id)
+    if m:
+        # BabyAI UnlockPickup[Dist] (upstream unlock.py): the
+        # MiniGrid-UnlockPickup layout (two 6×6 rooms, locked door, key
+        # left, box right — `_reset_unlock`); the mission is
+        # PickupInstr(box type + color). Dist adds 4 distinct
+        # distractors anywhere, so success must match the color
+        # (babyai_pickup); the plain variant's only box makes
+        # pickup_box equivalent.
+        if m.group(1):
+            return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
+                             success="babyai_pickup", num_objs=4)
+        return EnvParams("unlock", 11, 6, 8 * 6 * 6, False,
+                         success="pickup_box")
+    m = re.match(r"BabyAI-BlockedUnlockPickup(-v\d+)?$", env_id)
+    if m:
+        # BabyAI BlockedUnlockPickup = the MiniGrid id's layout
+        # (upstream unlock.py subclasses the same generator).
+        return EnvParams("unlock", 11, 6, 16 * 6 * 6, False,
+                         success="pickup_box", blocked_door=True)
+    m = re.match(r"BabyAI-UnlockToUnlock(-v\d+)?$", env_id)
+    if m:
+        # BabyAI UnlockToUnlock (upstream unlock.py): three 6×6 rooms,
+        # two locked doors with crossed keys, ball in the far room;
+        # mission PickupInstr(ObjDesc("ball")). max_steps = 30·6².
+        return EnvParams("babyai_u2u", 16, 6, 30 * 6 * 6, False,
+                         success="babyai_pickup")
+    m = re.match(r"BabyAI-GoToImpUnlock(-v\d+)?$", env_id)
+    if m:
+        # BabyAI GoToImpUnlock (upstream unlock.py): the Unlock maze
+        # with 2 distractors per non-locked room and the GoToInstr
+        # target object inside the locked room — the agent must infer
+        # the unlock ("no unblocking").
+        return EnvParams(
+            "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
+            success="babyai_goto", num_objs=16,
+            min_rooms=3, max_rooms=3, max_room_size=8,
+            locked_room=True, target_in_locked=True, dists_per_room=True,
         )
     m = re.match(r"BabyAI-OneRoomS(\d+)(-v\d+)?$", env_id)
     if m:
@@ -1319,11 +1454,14 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
     grid = grid.at[5, door_y].set(door_cell)
 
     left_room = (xs >= 1) & (xs <= 4) & (ys >= 1) & (ys <= 4)
-    if params.success == "pickup_box":
+    box_color = jnp.int8(0)
+    if params.success in ("pickup_box", "babyai_pickup"):
         # UnlockPickup: a random-color box on a free right-room cell
         # (upstream unlockpickup.py _gen_grid: add_object(1, 0, "box")
         # BEFORE the door/key, but placement order only matters for RNG
-        # sequence, not the distribution).
+        # sequence, not the distribution). The babyai_pickup success
+        # (UnlockPickupDist) matches the box by (type, color) so the
+        # distractors below cannot satisfy the mission.
         k_box, k_boxcol, k_key = jax.random.split(k_key, 3)
         right_room = (xs >= 6) & (xs <= 9) & (ys >= 1) & (ys <= 4)
         box_pos = _sample_free_cell(
@@ -1370,6 +1508,35 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
         key_cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
     grid = grid.at[key_pos[0], key_pos[1]].set(key_cell)
 
+    if params.num_objs:
+        # BabyAI UnlockPickupDist (upstream unlock.py UnlockPickup
+        # (distractors=True) — reconstructed): 4 distractors anywhere,
+        # distinct among themselves and from the key and mission box
+        # (add_distractors all_unique spans every placed object).
+        k_pick, k_rooms, k_dplace, k_agent = jax.random.split(k_agent, 4)
+        e_key = 0 * 6 + color.astype(jnp.int32)
+        e_box = 2 * 6 + box_color.astype(jnp.int32)
+        lo = jnp.minimum(e_key, e_box)
+        hi = jnp.maximum(e_key, e_box)
+        perm = jax.random.permutation(k_pick, 16)[: params.num_objs]
+        q = perm + (perm >= lo)
+        q = q + (q >= hi)
+        dt = jnp.asarray([KEY, BALL, BOX], jnp.int8)[q // 6]
+        dc = (q % 6).astype(jnp.int8)
+        right_room = (xs >= 6) & (xs <= 9) & (ys >= 1) & (ys <= 4)
+        sides = jax.random.randint(k_rooms, (params.num_objs,), 0, 2)
+        free = grid[..., 0] == EMPTY
+        for i, kp in enumerate(jax.random.split(k_dplace, params.num_objs)):
+            room = jnp.where(sides[i] == 0, left_room, right_room)
+            pos = _sample_free_cell(kp, free & room)
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([dt[i], dc[i], jnp.int8(0)]))
+
+    target = jnp.zeros(8, jnp.int32)
+    if params.success == "babyai_pickup":
+        target = target.at[0].set(BOX).at[1].set(box_color.astype(jnp.int32))
+
     agent_pos = _sample_free_cell(k_agent, (grid[..., 0] == EMPTY) & left_room)
     return EnvState(
         grid=grid,
@@ -1378,6 +1545,7 @@ def _reset_unlock(params: EnvParams, key: jax.Array) -> EnvState:
         carrying=jnp.zeros(3, dtype=jnp.int8),
         step_count=jnp.int32(0),
         rng=k_next,
+        target=target,
     )
 
 
@@ -2256,21 +2424,59 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
                 & (ys > j * (S - 1)) & (ys < (j + 1) * (S - 1)))
 
     def build(k):
-        (k_ari, k_arj, k_apos, k_adir, k_conn, k_dist, k_tgt) = (
-            jax.random.split(k, 7))
+        (k_ari, k_arj, k_apos, k_adir, k_conn, k_dist, k_tgt,
+         k_lock, k_key) = jax.random.split(k, 9)
         grid = base
+        open_wall0 = jnp.zeros((C, R, 4), bool)
+
+        # BabyAI unlock tier (upstream minigrid/envs/babyai/unlock.py
+        # Unlock / GoToImpUnlock — reconstructed): lock a random door of
+        # a random room, key of the door's color in a DIFFERENT room,
+        # agent placed outside the locked room; Unlock keeps the locked
+        # color unique among connect_all doors with prob 1/2.
+        L = jnp.int32(-1)
+        lcolor = jnp.int32(-1)
+        avoid_color = jnp.int32(-1)
+        li = lj = jnp.int32(0)
+        if params.locked_room:
+            (k_lr, k_lw, k_lc, k_lo, k_uq) = jax.random.split(k_lock, 5)
+            L = jax.random.randint(k_lr, (), 0, C * R)
+            li, lj = L % C, L // C
+            validd = jnp.stack([li + 1 < C, lj + 1 < R, li > 0, lj > 0])
+            r = jax.random.randint(k_lw, (), 0, validd.sum())
+            d = jnp.argmax(jnp.cumsum(validd) > r)
+            off = jax.random.randint(k_lo, (), 1, S - 1)
+            x = jnp.where(d == 0, (li + 1) * (S - 1),
+                          jnp.where(d == 2, li * (S - 1),
+                                    li * (S - 1) + off))
+            y = jnp.where(d == 1, (lj + 1) * (S - 1),
+                          jnp.where(d == 3, lj * (S - 1),
+                                    lj * (S - 1) + off))
+            lcolor = jax.random.randint(k_lc, (), 0, 6)
+            grid = grid.at[x, y].set(
+                jnp.stack([jnp.int8(DOOR), lcolor.astype(jnp.int8),
+                           jnp.int8(LOCKED)]))
+            dv = jnp.asarray(DIR_TO_VEC)[d]
+            open_wall0 = (open_wall0.at[li, lj, d].set(True)
+                          .at[li + dv[0], lj + dv[1], (d + 2) % 4]
+                          .set(True))
+            avoid_color = jnp.where(
+                jax.random.randint(k_uq, (), 0, 2) == 1, lcolor, -1)
+
         if params.fixed_agent_room:
             # FindObj/PickupAbove: upstream place_agent(1, 1).
             ari = jnp.int32(params.agent_room[0])
             arj = jnp.int32(params.agent_room[1])
+        elif params.locked_room:
+            ar = jax.random.randint(k_ari, (), 0, C * R - 1)
+            ar = ar + (ar >= L)
+            ari, arj = ar % C, ar // C
         else:
             ari = jax.random.randint(k_ari, (), 0, C)
             arj = jax.random.randint(k_arj, (), 0, R)
         agent_pos = _sample_free_cell(
             k_apos, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
         agent_dir = jax.random.randint(k_adir, (), 0, 4)
-
-        open_wall0 = jnp.zeros((C, R, 4), bool)
         if params.predoor[0] >= 0:
             # PickupAbove: a guaranteed door on one wall (random offset
             # + color) before connect_all, which then sees the rooms as
@@ -2299,7 +2505,7 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
 
         def body(carry):
             grid, open_wall, kk, it = carry
-            kk, k_i, k_j, k_k, k_c, k_o = jax.random.split(kk, 6)
+            kk, k_i, k_j, k_k, k_c, k_c5, k_o = jax.random.split(kk, 7)
             i = jax.random.randint(k_i, (), 0, C)
             j = jax.random.randint(k_j, (), 0, R)
             d = jax.random.randint(k_k, (), 0, 4)
@@ -2312,7 +2518,12 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
                           jnp.where(d == 2, i * (S - 1), i * (S - 1) + off))
             y = jnp.where(d == 1, (j + 1) * (S - 1),
                           jnp.where(d == 3, j * (S - 1), j * (S - 1) + off))
-            color = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+            # avoid_color >= 0: connect_all(door_colors=all but the
+            # locked color) — upstream Unlock's 50% uniqueness branch
+            c6 = jax.random.randint(k_c, (), 0, 6)
+            c5 = jax.random.randint(k_c5, (), 0, 5)
+            color = jnp.where(avoid_color >= 0, c5 + (c5 >= avoid_color),
+                              c6).astype(jnp.int8)
             door = jnp.stack([jnp.int8(DOOR), color, jnp.int8(CLOSED)])
             grid = jnp.where(valid, grid.at[x, y].set(door), grid)
             nc = jnp.clip(ni, 0, C - 1)
@@ -2335,6 +2546,17 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
 
         free = grid[..., 0] == EMPTY
         free = free.at[agent_pos[0], agent_pos[1]].set(False)
+        if params.locked_room:
+            # the matching key, in a room other than the locked one
+            k_kr, k_kp = jax.random.split(k_key)
+            kr = jax.random.randint(k_kr, (), 0, C * R - 1)
+            kr = kr + (kr >= L)
+            kpos = _sample_free_cell(
+                k_kp, free & room_interior(kr % C, kr // C))
+            free = free.at[kpos[0], kpos[1]].set(False)
+            grid = grid.at[kpos[0], kpos[1]].set(
+                jnp.stack([jnp.int8(KEY), lcolor.astype(jnp.int8),
+                           jnp.int8(0)]))
         obj_types = jnp.asarray([KEY, BALL, BOX], jnp.int8)
         types = jnp.zeros((n,), jnp.int8)
         colors = jnp.zeros((n,), jnp.int8)
@@ -2347,6 +2569,12 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
                 # (upstream add_object(1, 0)).
                 ri = jnp.int32(params.obj_room[0])
                 rj = jnp.int32(params.obj_room[1])
+            elif params.dists_per_room:
+                # GoToImpUnlock: exactly 2 distractors per non-locked
+                # room (upstream's per-room add_distractors loop).
+                rr = jnp.int32(idx // 2)
+                rr = rr + (rr >= L)
+                ri, rj = rr % C, rr // C
             else:
                 ri = jax.random.randint(k_ri, (), 0, C)
                 rj = jax.random.randint(k_rj, (), 0, R)
@@ -2357,7 +2585,24 @@ def _reset_babyai_gotomaze(params: EnvParams, key: jax.Array) -> EnvState:
             types = types.at[idx].set(t)
             colors = colors.at[idx].set(c)
 
-        if params.success == "babyai_open_color":
+        if params.locked_room and params.target_in_locked:
+            # GoToImpUnlock: one extra object inside the locked room is
+            # the GoToInstr target (matching distractors elsewhere also
+            # satisfy the desc — "possibly in a locked room").
+            k_tt, k_tc, k_tp = jax.random.split(k_tgt, 3)
+            tt = obj_types[jax.random.randint(k_tt, (), 0, 3)]
+            tc = jax.random.randint(k_tc, (), 0, 6).astype(jnp.int8)
+            tpos = _sample_free_cell(k_tp, free & room_interior(li, lj))
+            grid = grid.at[tpos[0], tpos[1]].set(
+                jnp.stack([tt, tc, jnp.int8(0)]))
+            target = (jnp.zeros(8, jnp.int32)
+                      .at[0].set(tt.astype(jnp.int32))
+                      .at[1].set(tc.astype(jnp.int32)))
+        elif params.locked_room:
+            # Unlock: OpenInstr on the locked door's color.
+            target = (jnp.zeros(8, jnp.int32)
+                      .at[0].set(DOOR).at[1].set(lcolor))
+        elif params.success == "babyai_open_color":
             # Open: the mission names a uniform door's color (upstream
             # open.py Open.gen_mission — a uniform element of the doors
             # list; every door is one cell, so a uniform door CELL is
@@ -2636,6 +2881,389 @@ def _reset_babyai_actionobj(params: EnvParams, key: jax.Array) -> EnvState:
         step_count=jnp.int32(0),
         rng=k_next,
         target=target,
+    )
+
+
+def _reset_babyai_levelgen(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI LevelGen tier — GoToSeq[S5R2], Synth[S5R2], SynthLoc,
+    SynthSeq, MiniBossLevel, BossLevel[NoUnlock] (upstream
+    minigrid/envs/babyai/core/levelgen.py + synth.py — reconstructed).
+
+    gen_mission: with probability ``locked_room_prob`` lock a random
+    door of a random room and drop the matching key in a different room
+    (add_locked_room); connect_all; ``num_objs`` distractors in random
+    rooms (duplicates allowed); agent in a random non-locked room;
+    check_objs_reachable only when unblocking is off
+    (``check_reachable`` — GoToSeq). The instruction is rand_instr over
+    ``instr_kinds``: action → one atomic instruction; and → AndInstr of
+    two; seq → Before/After of two halves each drawn from
+    {action, and}. Atomic descs follow rand_obj_desc: verb uniform over
+    ``action_kinds``; type uniform over the verb's legal pool (goto:
+    all four incl. door, open: door, pickup/putnext: movable); color
+    None with prob 1/7; a location word with prob 1/2 when
+    ``locations`` (evaluated against the agent's start pose, packed as
+    a positional match set — capacity 6); every desc rejection-sampled
+    until it matches at least one object. Putnext draws a second
+    (movable) desc, resampled when both halves can only denote the same
+    single object; its descs skip location words (the positional-set
+    machinery tracks one desc per slot — a documented reconstruction
+    narrowing).
+    """
+    S, R, C = params.max_room_size, params.min_rooms, params.max_rooms
+    w, h = params.width, params.height
+    n = params.num_objs
+    i32 = jnp.int32
+
+    base = np.zeros((w, h, 3), dtype=np.int8)
+    base[..., 0] = EMPTY
+    for i in range(C + 1):
+        base[i * (S - 1), :, :] = [WALL, GREY, 0]
+    for j in range(R + 1):
+        base[:, j * (S - 1), :] = [WALL, GREY, 0]
+    base = jnp.asarray(base)
+    xs = jnp.arange(w).reshape(w, 1)
+    ys = jnp.arange(h).reshape(1, h)
+
+    def room_interior(i, j):
+        return ((xs > i * (S - 1)) & (xs < (i + 1) * (S - 1))
+                & (ys > j * (S - 1)) & (ys < (j + 1) * (S - 1)))
+
+    def build(k):
+        (k_lock, k_ar, k_apos, k_adir, k_conn, k_key, k_dist) = (
+            jax.random.split(k, 7))
+        grid = base
+        open_wall0 = jnp.zeros((C, R, 4), bool)
+        if params.locked_room_prob > 0:
+            k_p, k_lr, k_lw, k_lo, k_lc = jax.random.split(k_lock, 5)
+            has_lock = (jax.random.uniform(k_p)
+                        < params.locked_room_prob)
+            L = jax.random.randint(k_lr, (), 0, C * R)
+            li, lj = L % C, L // C
+            validd = jnp.stack([li + 1 < C, lj + 1 < R, li > 0, lj > 0])
+            r = jax.random.randint(k_lw, (), 0, validd.sum())
+            d = jnp.argmax(jnp.cumsum(validd) > r)
+            off = jax.random.randint(k_lo, (), 1, S - 1)
+            x = jnp.where(d == 0, (li + 1) * (S - 1),
+                          jnp.where(d == 2, li * (S - 1),
+                                    li * (S - 1) + off))
+            y = jnp.where(d == 1, (lj + 1) * (S - 1),
+                          jnp.where(d == 3, lj * (S - 1),
+                                    lj * (S - 1) + off))
+            lcolor = jax.random.randint(k_lc, (), 0, 6)
+            grid = jnp.where(
+                has_lock,
+                grid.at[x, y].set(
+                    jnp.stack([jnp.int8(DOOR), lcolor.astype(jnp.int8),
+                               jnp.int8(LOCKED)])),
+                grid)
+            dv = jnp.asarray(DIR_TO_VEC)[d]
+            open_wall0 = jnp.where(
+                has_lock,
+                open_wall0.at[li, lj, d].set(True)
+                .at[li + dv[0], lj + dv[1], (d + 2) % 4].set(True),
+                open_wall0)
+            ar8 = jax.random.randint(k_ar, (), 0, C * R - 1)
+            ar = jnp.where(has_lock, ar8 + (ar8 >= L),
+                           jax.random.randint(k_apos, (), 0, C * R))
+        else:
+            has_lock = jnp.bool_(False)
+            L = jnp.int32(-1)
+            lcolor = jnp.int32(0)
+            ar = jax.random.randint(k_ar, (), 0, C * R)
+        ari, arj = ar % C, ar // C
+        k_apos2, k_apos3 = jax.random.split(k_apos)
+        agent_pos = _sample_free_cell(
+            k_apos2, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
+        agent_dir = jax.random.randint(k_adir, (), 0, 4)
+
+        def cond(carry):
+            return (~_rooms_reachable(carry[1])) & (carry[3] < 256)
+
+        def body(carry):
+            grid, open_wall, kk, it = carry
+            kk, k_i, k_j, k_k, k_c, k_o = jax.random.split(kk, 6)
+            i = jax.random.randint(k_i, (), 0, C)
+            j = jax.random.randint(k_j, (), 0, R)
+            d = jax.random.randint(k_k, (), 0, 4)
+            di, dj = jnp.asarray(DIR_TO_VEC)[d]
+            ni, nj = i + di, j + dj
+            in_range = (ni >= 0) & (ni < C) & (nj >= 0) & (nj < R)
+            valid = in_range & ~open_wall[i, j, d]
+            off = jax.random.randint(k_o, (), 1, S - 1)
+            x = jnp.where(d == 0, (i + 1) * (S - 1),
+                          jnp.where(d == 2, i * (S - 1),
+                                    i * (S - 1) + off))
+            y = jnp.where(d == 1, (j + 1) * (S - 1),
+                          jnp.where(d == 3, j * (S - 1),
+                                    j * (S - 1) + off))
+            color = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+            door = jnp.stack([jnp.int8(DOOR), color, jnp.int8(CLOSED)])
+            grid = jnp.where(valid, grid.at[x, y].set(door), grid)
+            nc = jnp.clip(ni, 0, C - 1)
+            nr = jnp.clip(nj, 0, R - 1)
+            open_wall = jnp.where(
+                valid,
+                open_wall.at[i, j, d].set(True)
+                .at[nc, nr, (d + 2) % 4].set(True),
+                open_wall)
+            return grid, open_wall, kk, it + 1
+
+        grid, _, _, _ = jax.lax.while_loop(
+            cond, body, (grid, open_wall0, k_conn, jnp.int32(0)))
+
+        free = grid[..., 0] == EMPTY
+        free = free.at[agent_pos[0], agent_pos[1]].set(False)
+        if params.locked_room_prob > 0:
+            k_kr, k_kp = jax.random.split(k_key)
+            kr = jax.random.randint(k_kr, (), 0, C * R - 1)
+            kr = kr + (kr >= L)
+            kpos = _sample_free_cell(
+                k_kp, free & room_interior(kr % C, kr // C))
+            grid = jnp.where(
+                has_lock,
+                grid.at[kpos[0], kpos[1]].set(
+                    jnp.stack([jnp.int8(KEY), lcolor.astype(jnp.int8),
+                               jnp.int8(0)])),
+                grid)
+            free = jnp.where(
+                has_lock, free.at[kpos[0], kpos[1]].set(False), free)
+
+        obj_types = jnp.asarray([KEY, BALL, BOX], jnp.int8)
+        for kd in jax.random.split(k_dist, n):
+            k_t, k_c, k_ri, k_rj, k_p = jax.random.split(kd, 5)
+            t = obj_types[jax.random.randint(k_t, (), 0, 3)]
+            c = jax.random.randint(k_c, (), 0, 6).astype(jnp.int8)
+            ri = jax.random.randint(k_ri, (), 0, C)
+            rj = jax.random.randint(k_rj, (), 0, R)
+            pos = _sample_free_cell(k_p, free & room_interior(ri, rj))
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([t, c, jnp.int8(0)]))
+        return grid, agent_pos, agent_dir
+
+    k, k_b = jax.random.split(key)
+    if params.check_reachable:
+        def attempt(kk):
+            kk, kb = jax.random.split(kk)
+            grid, agent_pos, agent_dir = build(kb)
+            ok = _objs_reachable(params, grid, agent_pos)
+            return ok, kk, grid, agent_pos, agent_dir
+
+        out = jax.lax.while_loop(
+            lambda c: (~c[0]) & (c[-1] < 64),
+            lambda c: attempt(c[1])[:5] + (c[-1] + 1,),
+            attempt(k_b) + (jnp.int32(1),))
+        _, k, grid, agent_pos, agent_dir = out[:5]
+    else:
+        grid, agent_pos, agent_dir = build(k_b)
+
+    # -- rand_instr ---------------------------------------------------------
+    (k_kind, k_seq, k_ca, k_cb, k_s0, k_s1, k_s2, k_s3, k_next) = (
+        jax.random.split(k, 9))
+    g0 = grid[..., 0].astype(i32)
+    g1 = grid[..., 1].astype(i32)
+    d1 = jnp.asarray(DIR_TO_VEC)[agent_dir]
+    d2 = jnp.asarray(DIR_TO_VEC)[(agent_dir + 1) % 4]
+    vx = xs - agent_pos[0]
+    vy = ys - agent_pos[1]
+    p1 = vx * d1[0] + vy * d1[1]
+    p2 = vx * d2[0] + vy * d2[1]
+    loc_masks = jnp.stack([p2 < 0, p2 > 0, p1 > 0, p1 < 0])
+
+    verb_codes = {"goto": 1, "open": 2, "pickup": 3, "putnext": 4}
+    allowed = jnp.asarray(
+        [verb_codes[a] for a in params.action_kinds.split(",")], i32)
+    movable = jnp.asarray([KEY, BALL, BOX], i32)
+    four = jnp.asarray([KEY, BALL, BOX, DOOR], i32)
+
+    def sample_slot(kslot):
+        def draw(c):
+            k = c[-1]
+            (k, kv, kt3, kt4, kc, kl, klv, kt2, kc2) = (
+                jax.random.split(k, 9))
+            verb = allowed[jax.random.randint(kv, (), 0, allowed.shape[0])]
+            t3 = movable[jax.random.randint(kt3, (), 0, 3)]
+            t4 = four[jax.random.randint(kt4, (), 0, 4)]
+            t = jnp.where(verb == 2, DOOR, jnp.where(verb == 1, t4, t3))
+            col = jax.random.randint(kc, (), -1, 6)
+            loc = jnp.where(
+                params.locations
+                & (jax.random.randint(kl, (), 0, 2) == 1) & (verb != 4),
+                jax.random.randint(klv, (), 0, 4), -1)
+            mask = ((g0 == t) & ((col < 0) | (g1 == col))
+                    & jnp.where(loc >= 0,
+                                loc_masks[jnp.clip(loc, 0, 3)], True))
+            ok = jnp.any(mask)
+            t2 = movable[jax.random.randint(kt2, (), 0, 3)]
+            c2 = jax.random.randint(kc2, (), -1, 6)
+            mask2 = (g0 == t2) & ((c2 < 0) | (g1 == c2))
+            single_same = ((mask.sum() == 1) & (mask2.sum() == 1)
+                           & (jnp.argmax(mask) == jnp.argmax(mask2)))
+            ok = jnp.where(verb == 4,
+                           ok & jnp.any(mask2) & ~single_same, ok)
+            positional = loc >= 0
+            packed = jnp.where(mask, xs * h + ys + 1, 0).reshape(-1)
+            top = -jnp.sort(-packed)[:6]
+            row = (jnp.zeros(12, i32)
+                   .at[0].set(verb)
+                   .at[1].set(jnp.where(positional, -1, t))
+                   .at[2].set(jnp.where(positional, -1, col))
+                   .at[3].set(jnp.where(verb == 4, t2, 0))
+                   .at[4].set(jnp.where(verb == 4, c2, 0))
+                   .at[5].set(positional.astype(i32)))
+            row = row.at[6:12].set(jnp.where(positional, top, 0))
+            return ok, row, k
+
+        init = (jnp.bool_(False), jnp.zeros(12, i32), kslot)
+        # rand_obj_desc retries until the desc matches something; a bare
+        # movable type always exists (num_objs >= 1), so this converges
+        out = jax.lax.while_loop(lambda c: ~c[0], draw, draw(init))
+        return out[1]
+
+    kinds = params.instr_kinds.split(",")
+    kind_codes = jnp.asarray(
+        [{"action": 0, "and": 1, "seq": 2}[x] for x in kinds], i32)
+    kindc = kind_codes[jax.random.randint(k_kind, (), 0, len(kinds))]
+    comp = jnp.where(kindc == 2,
+                     2 + jax.random.randint(k_seq, (), 0, 2), kindc)
+    a_and = (kindc == 2) & (jax.random.randint(k_ca, (), 0, 2) == 1)
+    b_and = (kindc == 2) & (jax.random.randint(k_cb, (), 0, 2) == 1)
+    use = jnp.stack([jnp.bool_(True), (kindc == 1) | a_and,
+                     kindc == 2, (kindc == 2) & b_and])
+    rows = jnp.stack([sample_slot(ks)
+                      for ks in (k_s0, k_s1, k_s2, k_s3)])
+    instr = rows * use[:, None].astype(i32)
+
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=agent_dir,
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, i32).at[0].set(comp),
+        instr=instr,
+    )
+
+
+def _reset_babyai_unlocklocal(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI UnlockLocal[Dist] / KeyInBox (upstream
+    minigrid/envs/babyai/unlock.py — reconstructed): 3×3 RoomGrid of
+    8×8 rooms (22×22); the center room gets one LOCKED random-color
+    door on a random wall, the matching key inside the room — loose
+    (UnlockLocal) or hidden in a random-color box (KeyInBox) — and the
+    agent. Dist adds 3 distractors, distinct among themselves and from
+    the key (add_distractors all_unique=True). Mission:
+    OpenInstr(ObjDesc("door")) — type only, so ``target`` carries the
+    color wildcard −1 (the center room's only door)."""
+    (k_wall, k_off, k_col, k_keyp, k_box, k_dist, k_agent, k_dir,
+     k_next) = jax.random.split(key, 9)
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    for t in range(4):
+        grid[t * 7, :, :] = [WALL, GREY, 0]
+        grid[:, t * 7, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    d = jax.random.randint(k_wall, (), 0, 4)
+    off = jax.random.randint(k_off, (), 8, 14)
+    dx = jnp.where(d == 0, 14, jnp.where(d == 2, 7, off))
+    dy = jnp.where(d == 1, 14, jnp.where(d == 3, 7, off))
+    color = jax.random.randint(k_col, (), 0, 6).astype(jnp.int8)
+    grid = grid.at[dx, dy].set(
+        jnp.stack([jnp.int8(DOOR), color, jnp.int8(LOCKED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    ys = jnp.arange(params.height).reshape(1, -1)
+    interior = (xs > 7) & (xs < 14) & (ys > 7) & (ys < 14)
+    free = (grid[..., 0] == EMPTY) & interior
+    kpos = _sample_free_cell(k_keyp, free)
+    free = free.at[kpos[0], kpos[1]].set(False)
+    if params.key_in_box:
+        bcol = jax.random.randint(k_box, (), 0, 6).astype(jnp.int8)
+        cell = jnp.stack([jnp.int8(BOX), bcol, (color + 1).astype(jnp.int8)])
+    else:
+        cell = jnp.stack([jnp.int8(KEY), color, jnp.int8(0)])
+    grid = grid.at[kpos[0], kpos[1]].set(cell)
+
+    if params.num_objs:
+        # distinct (type, color) pairs excluding the key's pair
+        ex = 0 * 6 + color.astype(jnp.int32)  # KEY row of the 3×6 table
+        k_pick, k_dplace = jax.random.split(k_dist)
+        perm = jax.random.permutation(k_pick, 17)[: params.num_objs]
+        q = perm + (perm >= ex)
+        dt = jnp.asarray([KEY, BALL, BOX], jnp.int8)[q // 6]
+        dc = (q % 6).astype(jnp.int8)
+        for i, kp in enumerate(jax.random.split(k_dplace, params.num_objs)):
+            pos = _sample_free_cell(kp, free)
+            free = free.at[pos[0], pos[1]].set(False)
+            grid = grid.at[pos[0], pos[1]].set(
+                jnp.stack([dt[i], dc[i], jnp.int8(0)]))
+
+    agent_pos = _sample_free_cell(k_agent, free)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32).at[0].set(DOOR).at[1].set(-1),
+    )
+
+
+def _reset_babyai_u2u(params: EnvParams, key: jax.Array) -> EnvState:
+    """BabyAI UnlockToUnlock (upstream unlock.py — reconstructed): three
+    6×6 rooms in a row (16×6 grid, walls at x=5 and x=10); door A
+    (color 1) LOCKS left↔middle, door B (color 2) LOCKS middle↔right;
+    key A sits in the RIGHT room, key B in the MIDDLE, a random ball in
+    the LEFT room; the agent starts in the middle. Mission:
+    PickupInstr(ObjDesc("ball")) — unlock B with key B, fetch key A,
+    swap keys, unlock A, pick the ball up. max_steps = 30·6²."""
+    (k_cols, k_y1, k_y2, k_ka, k_kb, k_ball, k_bcol, k_agent, k_dir,
+     k_next) = jax.random.split(key, 10)
+    grid = np.zeros((params.width, params.height, 3), np.int8)
+    grid[..., 0] = EMPTY
+    grid[0, :, :] = grid[-1, :, :] = [WALL, GREY, 0]
+    grid[:, 0, :] = grid[:, -1, :] = [WALL, GREY, 0]
+    grid[5, :, :] = [WALL, GREY, 0]
+    grid[10, :, :] = [WALL, GREY, 0]
+    grid = jnp.asarray(grid)
+
+    pair = jax.random.permutation(k_cols, 6)[:2].astype(jnp.int8)
+    y1 = jax.random.randint(k_y1, (), 1, params.height - 1)
+    y2 = jax.random.randint(k_y2, (), 1, params.height - 1)
+    grid = grid.at[5, y1].set(
+        jnp.stack([jnp.int8(DOOR), pair[0], jnp.int8(LOCKED)]))
+    grid = grid.at[10, y2].set(
+        jnp.stack([jnp.int8(DOOR), pair[1], jnp.int8(LOCKED)]))
+
+    xs = jnp.arange(params.width).reshape(-1, 1)
+    left = xs < 5
+    mid = (xs > 5) & (xs < 10)
+    right = xs > 10
+    free = grid[..., 0] == EMPTY
+
+    def place(k, mask, cell):
+        nonlocal grid, free
+        pos = _sample_free_cell(k, free & mask)
+        free = free.at[pos[0], pos[1]].set(False)
+        grid = grid.at[pos[0], pos[1]].set(cell)
+
+    place(k_ka, right, jnp.stack([jnp.int8(KEY), pair[0], jnp.int8(0)]))
+    place(k_kb, mid, jnp.stack([jnp.int8(KEY), pair[1], jnp.int8(0)]))
+    bcol = jax.random.randint(k_bcol, (), 0, 6).astype(jnp.int8)
+    place(k_ball, left, jnp.stack([jnp.int8(BALL), bcol, jnp.int8(0)]))
+
+    agent_pos = _sample_free_cell(k_agent, free & mid)
+    return EnvState(
+        grid=grid,
+        agent_pos=agent_pos,
+        agent_dir=jax.random.randint(k_dir, (), 0, 4),
+        carrying=jnp.zeros(3, dtype=jnp.int8),
+        step_count=jnp.int32(0),
+        rng=k_next,
+        target=jnp.zeros(8, jnp.int32).at[0].set(BALL).at[1].set(-1),
     )
 
 
@@ -3025,6 +3653,12 @@ def reset(params: EnvParams, key: jax.Array) -> EnvState:
         return _reset_babyai_actionobj(params, key)
     if params.kind == "babyai_objdoor":
         return _reset_babyai_objdoor(params, key)
+    if params.kind == "babyai_unlocklocal":
+        return _reset_babyai_unlocklocal(params, key)
+    if params.kind == "babyai_levelgen":
+        return _reset_babyai_levelgen(params, key)
+    if params.kind == "babyai_u2u":
+        return _reset_babyai_u2u(params, key)
     if params.kind == "babyai_putnext2":
         return _reset_babyai_putnext2(params, key)
     if params.kind == "babyai_twodoors":

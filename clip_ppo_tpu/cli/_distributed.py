@@ -18,18 +18,26 @@ from __future__ import annotations
 from typing import Optional
 
 
-def setup_mesh(distributed: bool, num_devices: int):
+def setup_mesh(distributed: bool, num_devices: int, tp: int = 1):
     """Returns ``(mesh, is_main_process)``.
 
     ``distributed=True``: initialize the multi-process runtime and span
     the mesh over all processes' devices. Otherwise the single-process
     behavior: a local dp mesh when ``num_devices`` != 1 (0 = all local
-    devices), else no mesh.
+    devices), else no mesh. ``tp > 1`` adds a tensor-parallel axis
+    (``(dp, tp)`` mesh; dp = devices/tp) for the Megatron-sharded CLIP
+    encode — single-process only (cross-host tp would put the per-layer
+    all-reduces on DCN).
 
     Must be called before any JAX computation (jax.distributed rule).
     """
     import jax
 
+    if distributed and tp > 1:
+        raise NotImplementedError(
+            "--tp composes with the local dp mesh only; multi-host "
+            "tensor parallelism would ride DCN"
+        )
     if distributed:
         from clip_ppo_tpu.parallel.distributed import (
             global_mesh,
@@ -52,10 +60,12 @@ def setup_mesh(distributed: bool, num_devices: int):
         return mesh, is_main
 
     n_dev = num_devices if num_devices > 0 else len(jax.devices())
+    if tp > 1 and num_devices == 1:
+        n_dev = tp  # bare --tp N: a 1 x N mesh
     if n_dev > 1:
         from clip_ppo_tpu.parallel.mesh import make_mesh
 
-        return make_mesh(num_devices=n_dev), True
+        return make_mesh(num_devices=n_dev, tp=tp), True
     return None, True
 
 

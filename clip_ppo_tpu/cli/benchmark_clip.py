@@ -47,6 +47,14 @@ class ClipBenchArgs:
     packed2 | packed4 | pallas"""
     seed: int = 0
     """PRNG seed"""
+    tp: int = 1
+    """tensor-parallel degree: shard the tower weights Megatron-style
+    over a ``tp`` mesh axis (parallel/tp.py); the batch shards over the
+    remaining ``dp`` axis. Forces attention_impl=xla — the Pallas
+    kernels have no GSPMD partition rule, so under tp the einsum path is
+    the one the compiler can cut along heads/hidden (SURVEY §2c TP)"""
+    num_devices: int = 0
+    """devices for the (dp, tp) mesh (0 = all available)"""
 
 
 def _bench(fn, params, data, iterations: int) -> float:
@@ -84,6 +92,29 @@ def main() -> None:
     print(f"model={args.model} dtype={args.dtype} device={dev.platform} "
           f"({dev.device_kind if hasattr(dev, 'device_kind') else '?'})")
 
+    mesh = None
+    if args.tp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from clip_ppo_tpu.parallel.mesh import make_mesh
+        from clip_ppo_tpu.parallel.tp import shard_clip_params
+
+        mesh = make_mesh(
+            num_devices=args.num_devices or None, tp=args.tp)
+        params = shard_clip_params(mesh, params)
+        if args.attention_impl != "xla":
+            print(f"tp={args.tp}: forcing attention_impl=xla "
+                  "(Pallas kernels have no GSPMD partition rule)")
+            args.attention_impl = "xla"
+        print(f"mesh dp={mesh.shape['dp']} x tp={mesh.shape['tp']}; "
+              "weights tensor-sharded, batch on dp")
+
+        def place_batch(x):
+            return jax.device_put(x, NamedSharding(mesh, P("dp")))
+    else:
+        def place_batch(x):
+            return x
+
     @partial(jax.jit, static_argnums=())
     def image_fwd(p, frames):
         x = preprocess_for_clip(
@@ -94,9 +125,9 @@ def main() -> None:
     key = jax.random.PRNGKey(args.seed)
     print(f"{'batch':>6} {'ms/batch':>10} {'frames/s/chip':>14}")
     for b in args.batch_sizes:
-        frames = jax.random.randint(
+        frames = place_batch(jax.random.randint(
             key, (b, args.source_size, args.source_size, 3), 0, 255, jnp.uint8
-        )
+        ))
         t = _bench(image_fwd, params, frames, args.iterations)
         print(f"{b:>6} {t * 1e3:>10.2f} {b / t:>14.0f}")
 
@@ -109,6 +140,7 @@ def main() -> None:
         jnp.int32,
     )
     toks = toks.at[:, 0].set(cfg.vocab_size - 2).at[:, -1].set(cfg.vocab_size - 1)
+    toks = place_batch(toks)
     t = _bench(text_fwd, params, toks, args.iterations)
     print(f"text  batch={args.text_batch}: {t * 1e3:.2f} ms/batch "
           f"({args.text_batch / t:.0f} seqs/s/chip)")

@@ -169,6 +169,12 @@ class Args:
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
     batch are sharded across a dp mesh, parameters replicated"""
+    tp: int = 1
+    """tensor-parallel degree for the per-iteration CLIP image encode
+    (SURVEY §2c: the ViT-L/14 eval-sweep load, `clip_ppo_utils.py:211-215`):
+    the tower weights shard Megatron-style over a tp mesh axis
+    (parallel/tp.py), attention runs on the GSPMD-partitionable einsum
+    path, the batch rides dp = num_devices/tp. Image modality only"""
     distributed: bool = False
     """multi-host data-parallel training: bring up jax.distributed
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU
@@ -205,10 +211,14 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     )
 
     # Mesh first: jax.distributed must initialize before any computation.
-    mesh, is_main = setup_mesh(args.distributed, args.num_devices)
+    mesh, is_main = setup_mesh(args.distributed, args.num_devices, args.tp)
     if mesh is not None and is_main:
-        print(f"Data-parallel over {mesh.shape['dp']} devices "
-              f"({args.num_envs} envs sharded)")
+        if args.tp > 1:
+            print(f"Mesh dp={mesh.shape['dp']} x tp={mesh.shape['tp']}: "
+                  f"envs on dp, CLIP tower tensor-sharded on tp")
+        else:
+            print(f"Data-parallel over {mesh.shape['dp']} devices "
+                  f"({args.num_envs} envs sharded)")
 
     if is_main:
         maybe_init_wandb(args, run_name)
@@ -294,7 +304,23 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
     )
     embed_images_fn = None
     if fused_image_path:
-        embed_images_fn = clip_utils.make_encode_images_fn(clip_cfg)
+        if args.tp > 1:
+            # tensor-parallel encode: weights sharded over the tp axis,
+            # attention forced onto the GSPMD-partitionable einsum path
+            # (the Pallas kernels have no partition rule).
+            from clip_ppo_tpu.parallel.tp import shard_clip_params
+
+            frozen_params["clip"] = shard_clip_params(mesh, clip_params)
+            embed_images_fn = clip_utils.make_encode_images_fn(
+                clip_cfg, attention_impl="xla")
+        else:
+            embed_images_fn = clip_utils.make_encode_images_fn(clip_cfg)
+    elif args.tp > 1:
+        raise SystemExit(
+            "--tp shards the per-iteration CLIP image encode; it needs "
+            "--clip-config.clip_modality image with an active CLIP loss "
+            "(not FROZEN_CLIP/RANDOM_ENCODER/text)"
+        )
 
     # Text modality: MiniGrid descriptions are exactly f(agent_x, agent_y,
     # dir) + a constant border-wall suffix, so the full W·H·4 description

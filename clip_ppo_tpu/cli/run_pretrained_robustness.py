@@ -48,6 +48,12 @@ class Args:
     """rollout steps per iteration"""
     run_prefix: str = "pretrained"
     """prefix for the two run names"""
+    tp: int = 1
+    """tensor-parallel degree for the CLIP encode (image modality; the
+    ViT-L/14 sweep load, SURVEY §2c) — passed through to the training
+    runs"""
+    num_devices: int = 1
+    """device count for the (dp, tp) mesh (0 = all available)"""
     synthesize_checkpoint: bool = False
     """write a random-weight OpenAI-format archive first (loader drill
     when no real checkpoint exists)"""
@@ -104,6 +110,8 @@ def main(args: Args | None = None) -> dict:
             total_timesteps=args.total_timesteps,
             num_envs=args.num_envs,
             num_steps=args.num_steps,
+            tp=args.tp,
+            num_devices=args.num_devices,
             capture_video=False,
             verbose=False,
             clip_config=cpm.MiniGridClipPPOConfig(

@@ -95,16 +95,20 @@ def encode_images(
     cfg: CLIPConfig,
     images_uint8: jax.Array,
     compute_dtype=jnp.float32,
+    attention_impl: str = "auto",
 ) -> jax.Array:
     """uint8 [B, H, W, 3] → normalized [B, embed_dim] CLIP features.
 
     Fuses /255 → antialiased-bilinear 224 resize → CLIP normalization →
     ViT forward → L2 norm into one traced graph
     (`clip_ppo_utils.py:141-164`). Pure: safe inside the jitted iteration.
+    ``attention_impl="xla"`` keeps the encode GSPMD-partitionable for
+    tensor-parallel weights (the Pallas kernels have no partition rule).
     """
     x = preprocess_for_clip(images_uint8.astype(jnp.float32) / 255.0,
                             cfg.image_size)
-    feats = clip_model_mod.encode_image(clip_params, cfg, x, compute_dtype)
+    feats = clip_model_mod.encode_image(clip_params, cfg, x, compute_dtype,
+                                        attention_impl=attention_impl)
     return l2_normalize(feats)
 
 
@@ -213,12 +217,14 @@ def make_frozen_clip_stack_features_fn(cfg: CLIPConfig,
     return features
 
 
-def make_encode_images_fn(cfg: CLIPConfig, compute_dtype=jnp.float32):
+def make_encode_images_fn(cfg: CLIPConfig, compute_dtype=jnp.float32,
+                          attention_impl: str = "auto"):
     """Per-iteration image-embedding fn for the fused MiniGrid image
     modality: ``(obs_uint8, frozen) -> [B, embed_dim]`` L2-normalized."""
 
     def embed(obs: jax.Array, frozen: dict) -> jax.Array:
-        return encode_images(frozen["clip"], cfg, obs, compute_dtype)
+        return encode_images(frozen["clip"], cfg, obs, compute_dtype,
+                             attention_impl=attention_impl)
 
     return embed
 

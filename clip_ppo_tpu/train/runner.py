@@ -133,6 +133,7 @@ class Trainer:
                 f"{cfg.num_envs} not divisible by "
                 f"num_minibatches={cfg.num_minibatches}"
             )
+        self.tp = 1
         if mesh is not None:
             assert cfg.num_envs % mesh.shape["dp"] == 0, (
                 f"num_envs={cfg.num_envs} not divisible by "
@@ -143,10 +144,22 @@ class Trainer:
                 f"per-device batch {local_batch} not divisible by "
                 f"num_minibatches={cfg.num_minibatches}"
             )
-            if frozen_params is not None:
+            self.tp = int(dict(mesh.shape).get("tp", 1))
+            if self.tp > 1 and features_fn is not agent_mod.cnn_features:
+                raise NotImplementedError(
+                    "tp>1 shards the per-iteration CLIP embedding encode "
+                    "(embed_images_fn) Megatron-style; FROZEN_CLIP feature "
+                    "trunks run inside the dp shard_map update and are not "
+                    "tp-sharded (SURVEY §2c: TP targets the big-encoder "
+                    "eval load, clip_ppo_utils.py:211-215)"
+                )
+            if frozen_params is not None and self.tp == 1:
                 from clip_ppo_tpu.parallel.mesh import replicate_tree
 
                 frozen_params = replicate_tree(mesh, frozen_params)
+            # tp>1: frozen weights arrive already placed by the caller
+            # (tensor-sharded via parallel.tp.shard_clip_params); GSPMD
+            # partitions the embed encode along them.
         self.disturbance = disturbance
         self.disturbance_semantics = disturbance_semantics
         # View fast path: MiniGrid observations are EXACT ×12 nearest
@@ -509,8 +522,25 @@ class Trainer:
         inputs (leading axes [T, N], env axis on ``dp``): each device
         flattens its local [T, N/dp] block t-major, embeds it (the Pallas
         ViT encode has no GSPMD partitioning rule), and returns
-        [T, N/dp, D]. At dp=1 this is exactly the global flat encode."""
+        [T, N/dp, D]. At dp=1 this is exactly the global flat encode.
+
+        tp>1: no shard_map — the encode runs in the global graph with
+        the tower weights tensor-sharded (parallel.tp), attention on the
+        einsum path, and GSPMD inserting the tp all-reduces; the batch
+        axis still rides dp."""
         from jax.sharding import PartitionSpec as P
+
+        if getattr(self, "tp", 1) > 1:
+            leaf = jax.tree_util.tree_leaves(x)[0]
+            t, n = leaf.shape[:2]
+            flat = jax.tree_util.tree_map(
+                lambda v: v.reshape((t * n,) + v.shape[2:]), x
+            )
+            emb = fn(flat, frozen)
+            return jax.lax.with_sharding_constraint(
+                emb.reshape(t, n, -1),
+                jax.sharding.NamedSharding(self.mesh, P(None, "dp")),
+            )
 
         def embed2d(x_local, frozen):
             leaf = jax.tree_util.tree_leaves(x_local)[0]

@@ -2,10 +2,15 @@
 
 The reference trains any registered id via gym.make
 (`ppo_minigrid.py:106-119`); this is the full list the upstream library
-registers for the families this framework implements, plus the BabyAI
-GoTo tier (the rest of the BabyAI namespace and WFC are out of scope —
-separate env suites, not part of the reference's experiment surface).
-Each id must parse to EnvParams and produce a well-formed reset state.
+registers for the families this framework implements — the whole core
+MiniGrid suite and the full BabyAI namespace: the GoTo/Open/Pickup/
+PutNext single-room and maze tiers, the r4 stragglers (OneRoom, FindObj,
+PickupAbove, GoToDoor/GoToObjDoor, PutNext[Carrying], MoveTwoAcross,
+OpenTwoDoors/OpenDoorsOrder, PickupLoc), the unlock tier, and the
+LevelGen sequencing/composite tier (GoToSeq, Synth*, Boss*). WFC is out
+of scope (a separate procedural suite, not part of the reference's
+experiment surface). Each id must parse to EnvParams and produce a
+well-formed reset state.
 """
 
 import numpy as np
@@ -102,6 +107,36 @@ REGISTERED = [
     "BabyAI-Pickup-v0", "BabyAI-UnblockPickup-v0",
     # babyai maze tier (open.py Open)
     "BabyAI-Open-v0",
+    # babyai/other.py stragglers (r4)
+    "BabyAI-OneRoomS8-v0", "BabyAI-OneRoomS12-v0",
+    "BabyAI-OneRoomS16-v0", "BabyAI-OneRoomS20-v0",
+    "BabyAI-FindObjS5-v0", "BabyAI-FindObjS6-v0", "BabyAI-FindObjS7-v0",
+    "BabyAI-MoveTwoAcrossS5N2-v0", "BabyAI-MoveTwoAcrossS8N9-v0",
+    # babyai/pickup.py + goto.py stragglers (r4)
+    "BabyAI-PickupAbove-v0", "BabyAI-PickupLoc-v0",
+    "BabyAI-GoToDoor-v0", "BabyAI-GoToObjDoor-v0",
+    # babyai/putnext.py (r4)
+    "BabyAI-PutNextS4N1-v0", "BabyAI-PutNextS5N1-v0",
+    "BabyAI-PutNextS5N2-v0", "BabyAI-PutNextS6N3-v0",
+    "BabyAI-PutNextS7N4-v0", "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-PutNextS6N3Carrying-v0", "BabyAI-PutNextS7N4Carrying-v0",
+    # babyai/open.py sequencing (r4)
+    "BabyAI-OpenTwoDoors-v0", "BabyAI-OpenRedBlueDoors-v0",
+    "BabyAI-OpenRedBlueDoorsDebug-v0",
+    "BabyAI-OpenDoorsOrderN2-v0", "BabyAI-OpenDoorsOrderN4-v0",
+    "BabyAI-OpenDoorsOrderN2Debug-v0", "BabyAI-OpenDoorsOrderN4Debug-v0",
+    # babyai/unlock.py (r4)
+    "BabyAI-Unlock-v0", "BabyAI-UnlockLocal-v0",
+    "BabyAI-UnlockLocalDist-v0", "BabyAI-KeyInBox-v0",
+    "BabyAI-UnlockPickup-v0", "BabyAI-UnlockPickupDist-v0",
+    "BabyAI-BlockedUnlockPickup-v0", "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-GoToImpUnlock-v0",
+    # babyai/synth.py LevelGen tier (r4)
+    "BabyAI-GoToSeq-v0", "BabyAI-GoToSeqS5R2-v0",
+    "BabyAI-Synth-v0", "BabyAI-SynthS5R2-v0",
+    "BabyAI-SynthLoc-v0", "BabyAI-SynthSeq-v0",
+    "BabyAI-MiniBossLevel-v0", "BabyAI-BossLevel-v0",
+    "BabyAI-BossLevelNoUnlock-v0",
 ]
 
 

@@ -390,6 +390,136 @@ def _mlp_chunked_fwd(x, wfc, bfc, wproj, bproj, g, b,
     return out, (x, wfc, bfc, wproj, bproj, g, b)
 
 
+def _mlp_stream_kernel(x_ref, wfc_hbm, bfc_ref, wproj_hbm, bproj_ref,
+                       g_ref, b_ref, o_ref, y_scratch, acc_scratch,
+                       wfc_buf, wproj_buf, sem_fc, sem_pj,
+                       *, t: int, eps: float, ck: int, n_chunks: int):
+    """Weight-streaming MLP block (VERDICT r3 item 7): ViT-L/14-class
+    widths where both weight mats can't stay VMEM-resident. The weights
+    live in HBM; [D, ck] fc-tiles and [ck, D] proj-tiles are manually
+    double-buffered HBM→VMEM behind the matmuls, and
+    ``Σ_c gelu(LN(x) @ fc[:, c]) @ proj[c, :]`` accumulates in an fp32
+    scratch — the [Bb·T, 4D] hidden never exists anywhere, and unlike
+    the auto-pipelined d4-chunked grid variant (whose weight slices
+    re-stream per batch block at its VMEM-forced block_batches=1), the
+    activation block here is free of the weight footprint, so bigger
+    batch blocks amortize the 2·D·4D weight stream."""
+    bb, _, d = x_ref.shape
+    x = x_ref[...]
+    y_scratch[...] = _ln(x, g_ref[...], b_ref[...], eps).reshape(bb * t, d)
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    def fc_dma(slot, c):
+        return pltpu.make_async_copy(
+            wfc_hbm.at[:, pl.ds(c * ck, ck)], wfc_buf.at[slot],
+            sem_fc.at[slot])
+
+    def pj_dma(slot, c):
+        return pltpu.make_async_copy(
+            wproj_hbm.at[pl.ds(c * ck, ck), :], wproj_buf.at[slot],
+            sem_pj.at[slot])
+
+    fc_dma(0, 0).start()
+    pj_dma(0, 0).start()
+
+    def body(c, _):
+        slot = c % 2
+        nxt = (c + 1) % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            # slot ``nxt`` was consumed at step c-1; its compute is done
+            fc_dma(nxt, c + 1).start()
+            pj_dma(nxt, c + 1).start()
+
+        fc_dma(slot, c).wait()
+        pj_dma(slot, c).wait()
+        h = jax.lax.dot_general(
+            y_scratch[...], wfc_buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bfc_ref[0, pl.ds(c * ck, ck)].astype(jnp.float32)[None]
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+        acc_scratch[...] += jax.lax.dot_general(
+            h, wproj_buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out = acc_scratch[...] + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
+
+
+def _mlp_stream_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                         eps, block_batches, interpret):
+    bsz, t, d = x.shape
+    d4 = wfc.shape[1]
+    itemsize = x.dtype.itemsize
+    # Largest power-of-2 chunk whose [D, ck] tile stays ≤ 512 KB: the
+    # four live tiles (2 slots × fc+proj) then hold ≤ 2 MB of VMEM,
+    # leaving the budget to the activation block.
+    ck = d4
+    while ck > 1 and (d * ck * itemsize > (512 << 10) or d4 % ck):
+        ck //= 2
+    n_chunks = d4 // ck
+    if block_batches is None:
+        env = os.environ.get("CLIP_PPO_MLP_STREAM_BB")
+        if env:
+            block_batches = int(env)
+        else:
+            # x + pipelined in/out slots (~4·itemsize) + y + fp32 acc
+            per_b = t * d * (5 * itemsize + 4)
+            block_batches = max(1, min(8, (9 << 20) // per_b))
+    bb = block_batches
+    pad = (-bsz) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, t, d), x.dtype)], axis=0)
+    blocks = (bsz + pad) // bb
+    kernel = functools.partial(_mlp_stream_kernel, t=t, eps=eps, ck=ck,
+                               n_chunks=n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # wfc stays in HBM
+            _full_spec(bfc.shape),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # wproj stays in HBM
+            _full_spec(bproj.shape),
+            _full_spec(g.shape),
+            _full_spec(b.shape),
+        ],
+        out_specs=pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz + pad, t, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb * t, d), x.dtype),          # LN(x)
+            pltpu.VMEM((bb * t, d), jnp.float32),      # accumulator
+            pltpu.VMEM((2, d, ck), x.dtype),           # fc tiles
+            pltpu.VMEM((2, ck, d), x.dtype),           # proj tiles
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wfc, bfc, wproj, bproj, g, b)
+    return out[:bsz]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _mlp_stream_p(x, wfc, bfc, wproj, bproj, g, b,
+                  eps, block_batches, interpret):
+    return _mlp_stream_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                                eps, block_batches, interpret)
+
+
+def _mlp_stream_fwd(x, wfc, bfc, wproj, bproj, g, b,
+                    eps, block_batches, interpret):
+    out = _mlp_stream_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
+                               eps, block_batches, interpret)
+    return out, (x, wfc, bfc, wproj, bproj, g, b)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _mlp_block_p(x, wfc, bfc, wproj, bproj, g, b,
                  eps, block_batches, interpret):
@@ -433,6 +563,7 @@ def _mlp_block_bwd(eps, block_batches, interpret, res, ct):
 
 _mlp_block_p.defvjp(_mlp_block_fwd, _mlp_block_bwd)
 _mlp_chunked_p.defvjp(_mlp_chunked_fwd, _mlp_block_bwd)
+_mlp_stream_p.defvjp(_mlp_stream_fwd, _mlp_block_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +626,22 @@ def fused_mlp_block(
         # HBM-bound by construction (and its first cut exceeded the 16 MB
         # scoped-VMEM stack on v5e). CLIP_PPO_MLP_CHUNKED=1 opts into the
         # chunked kernel for hardware A/Bs.
+        if os.environ.get("CLIP_PPO_MLP_STREAM", "0") == "1":
+            # Weight-streaming kernel (r4): manual double-buffered
+            # [D, ck]/[ck, D] weight-tile DMAs behind the matmuls, the
+            # activation block freed of the weight VMEM footprint —
+            # opt-in for hardware A/Bs until measured faster than the
+            # XLA formulation (docs/PERFORMANCE.md records the verdict).
+            return _mlp_stream_p(
+                x,
+                mlp["fc_w"].astype(dt).T,
+                _row(mlp["fc_b"], dt),
+                mlp["proj_w"].astype(dt).T,
+                _row(mlp["proj_b"], dt),
+                _row(ln2["scale"], dt),
+                _row(ln2["bias"], dt),
+                eps, block_batches, interpret,
+            )
         if os.environ.get("CLIP_PPO_MLP_CHUNKED", "0") != "1":
             return _mlp_block_ref(
                 x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),

@@ -180,6 +180,39 @@ def test_mlp_chunked_grad_matches_xla(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_mlp_stream_large_width(monkeypatch):
+    """CLIP_PPO_MLP_STREAM=1 opts over-budget widths into the
+    weight-streaming kernel (manual double-buffered [D, ck]/[ck, D]
+    weight-tile DMAs from HBM, fp32 accumulation) — must match the XLA
+    formulation; batch 3 also exercises zero-padding."""
+    monkeypatch.setenv("CLIP_PPO_MLP_STREAM", "1")
+    blk, x, ref = _large_width_case()
+    out = fused_mlp_block(x, blk["ln_2"], blk["mlp"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_stream_grad_matches_xla(monkeypatch):
+    monkeypatch.setenv("CLIP_PPO_MLP_STREAM", "1")
+    blk, x, ref = _large_width_case(seed=11)
+
+    def ref_loss(x):
+        h = layer_norm(blk["ln_2"], x)
+        h = h @ blk["mlp"]["fc_w"].T + blk["mlp"]["fc_b"]
+        h = h * jax.nn.sigmoid(1.702 * h)
+        return jnp.sum((x + h @ blk["mlp"]["proj_w"].T
+                        + blk["mlp"]["proj_b"]) ** 2)
+
+    g_ref = jax.grad(ref_loss)(x)
+    g_chk = jax.grad(
+        lambda x: jnp.sum(fused_mlp_block(x, blk["ln_2"], blk["mlp"]) ** 2)
+    )(x)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_chk) / scale,
+                               np.asarray(g_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_mlp_large_width_defaults_to_xla():
     """Over-budget widths default to the XLA formulation (the chunked
     kernel at its forced block_batches=1 re-streams the full MLP weights

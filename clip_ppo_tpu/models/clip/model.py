@@ -27,6 +27,7 @@ HF-checkpoint converter).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -207,6 +208,23 @@ def _use_fused_block(impl: str, mask, batch: int, width: int) -> bool:
     )
 
 
+def _use_stream_mlp(impl: str, mask, batch: int, width: int) -> bool:
+    """ViT-L/14-class widths keep the fused-qkv attention path ("auto" —
+    see `_use_fused_block`), but their MLP half routes to the r4
+    weight-streaming kernel (pallas_block: manual double-buffered
+    weight-tile DMAs, 1.171× the XLA formulation on the isolated
+    batch-256 L/14 MLP stack — benchmarks/mlp_stream_ab.py). TPU-only,
+    batch ≥ 64; CLIP_PPO_MLP_STREAM=0 restores the inline XLA MLP."""
+    if mask is not None and not isinstance(mask, str):
+        return False
+    mlp_fits_vmem = 2 * width * 4 * width * 2 <= (12 << 20)
+    return (
+        impl == "auto" and batch >= 64 and not mlp_fits_vmem
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CLIP_PPO_MLP_STREAM", "1") == "1"
+    )
+
+
 def resblock(
     p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
     impl: str = "auto",
@@ -222,6 +240,10 @@ def resblock(
                              causal=(mask == "causal"))
         return fused_mlp_block(x, p["ln_2"], p["mlp"])
     x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask, impl)
+    if _use_stream_mlp(impl, mask, x.shape[0], x.shape[-1]):
+        from clip_ppo_tpu.models.clip.pallas_block import fused_mlp_block
+
+        return fused_mlp_block(x, p["ln_2"], p["mlp"])
     h = layer_norm(p["ln_2"], x)
     h = h @ p["mlp"]["fc_w"].astype(x.dtype).T + p["mlp"]["fc_b"].astype(x.dtype)
     h = quick_gelu(h)

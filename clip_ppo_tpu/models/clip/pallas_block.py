@@ -626,13 +626,10 @@ def fused_mlp_block(
         # HBM-bound by construction (and its first cut exceeded the 16 MB
         # scoped-VMEM stack on v5e). CLIP_PPO_MLP_CHUNKED=1 opts into the
         # chunked kernel for hardware A/Bs.
-        if os.environ.get("CLIP_PPO_MLP_STREAM", "0") == "1":
-            # Weight-streaming kernel (r4): manual double-buffered
-            # [D, ck]/[ck, D] weight-tile DMAs behind the matmuls, the
-            # activation block freed of the weight VMEM footprint —
-            # opt-in for hardware A/Bs until measured faster than the
-            # XLA formulation (docs/PERFORMANCE.md records the verdict).
-            return _mlp_stream_p(
+        if os.environ.get("CLIP_PPO_MLP_CHUNKED", "0") == "1":
+            # r3's d4-chunked grid variant, kept for A/Bs
+            # (benchmarks/mlp_stream_ab.py: 170.7 ms vs stream 168.5).
+            return _mlp_chunked_p(
                 x,
                 mlp["fc_w"].astype(dt).T,
                 _row(mlp["fc_b"], dt),
@@ -642,13 +639,21 @@ def fused_mlp_block(
                 _row(ln2["bias"], dt),
                 eps, block_batches, interpret,
             )
-        if os.environ.get("CLIP_PPO_MLP_CHUNKED", "0") != "1":
+        if os.environ.get("CLIP_PPO_MLP_STREAM", "1") != "1":
             return _mlp_block_ref(
                 x, mlp["fc_w"].astype(dt).T, _row(mlp["fc_b"], dt),
                 mlp["proj_w"].astype(dt).T, _row(mlp["proj_b"], dt),
                 _row(ln2["scale"], dt), _row(ln2["bias"], dt), eps,
             )
-        return _mlp_chunked_p(
+        # Weight-streaming kernel — the r4 DEFAULT at over-budget widths:
+        # manual double-buffered [D, ck]/[ck, D] weight-tile DMAs behind
+        # the matmuls, the activation block freed of the weight VMEM
+        # footprint. Measured 1.171x the XLA formulation on the isolated
+        # batch-256 ViT-L/14 24-layer MLP stack (168.5 vs 197.4 ms,
+        # v5e; block_batches auto=2 optimal — 1 reads 179.1 ms, 3-4
+        # exceed VMEM; benchmarks/mlp_stream_ab.py).
+        # CLIP_PPO_MLP_STREAM=0 restores the XLA fallback.
+        return _mlp_stream_p(
             x,
             mlp["fc_w"].astype(dt).T,
             _row(mlp["fc_b"], dt),

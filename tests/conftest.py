@@ -39,6 +39,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # run to a handful. Set CLIP_PPO_TEST_JAX_CACHE="" to disable entirely.
 _cache_dir = os.environ.get("CLIP_PPO_TEST_JAX_CACHE", "/tmp/clip_ppo_jax_cache")
 if _cache_dir:
+    # Key the cache by the host's CPU features: XLA:CPU persists AOT
+    # results specialized to the compile machine, and LOADING an entry
+    # built on a host with different features can SIGILL/segfault ("This
+    # could lead to execution errors such as SIGILL" — the cpu_aot_loader
+    # warning observed before each r3/r4 suite crash). A fleet-scheduled
+    # box can wake up on different hardware between runs, so the dir name
+    # carries a fingerprint and stale caches are simply never read.
+    import hashlib
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        _cache_dir += "_" + hashlib.md5(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 8.0)

@@ -213,12 +213,15 @@ def test_mlp_stream_grad_matches_xla(monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_mlp_large_width_defaults_to_xla():
-    """Over-budget widths default to the XLA formulation (the chunked
-    kernel at its forced block_batches=1 re-streams the full MLP weights
-    per batch element — HBM-bound, and its VMEM stack overflowed on v5e)
-    — exact, no pallas_call even with interpret=False."""
+def test_mlp_large_width_defaults_to_stream(monkeypatch):
+    """Over-budget widths default to the r4 weight-streaming kernel
+    (1.171x the XLA formulation on hardware — mlp_stream_ab.py);
+    CLIP_PPO_MLP_STREAM=0 restores the exact XLA fallback."""
     blk, x, ref = _large_width_case(seed=12)
+    out = fused_mlp_block(x, blk["ln_2"], blk["mlp"])  # interpret auto
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    monkeypatch.setenv("CLIP_PPO_MLP_STREAM", "0")
     out = fused_mlp_block(x, blk["ln_2"], blk["mlp"], interpret=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)

@@ -2962,18 +2962,18 @@ def _reset_babyai_levelgen(params: EnvParams, key: jax.Array) -> EnvState:
                 open_wall0.at[li, lj, d].set(True)
                 .at[li + dv[0], lj + dv[1], (d + 2) % 4].set(True),
                 open_wall0)
-            ar8 = jax.random.randint(k_ar, (), 0, C * R - 1)
+            k_ar8, k_ar9 = jax.random.split(k_ar)
+            ar8 = jax.random.randint(k_ar8, (), 0, C * R - 1)
             ar = jnp.where(has_lock, ar8 + (ar8 >= L),
-                           jax.random.randint(k_apos, (), 0, C * R))
+                           jax.random.randint(k_ar9, (), 0, C * R))
         else:
             has_lock = jnp.bool_(False)
             L = jnp.int32(-1)
             lcolor = jnp.int32(0)
             ar = jax.random.randint(k_ar, (), 0, C * R)
         ari, arj = ar % C, ar // C
-        k_apos2, k_apos3 = jax.random.split(k_apos)
         agent_pos = _sample_free_cell(
-            k_apos2, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
+            k_apos, (grid[..., 0] == EMPTY) & room_interior(ari, arj))
         agent_dir = jax.random.randint(k_adir, (), 0, 4)
 
         def cond(carry):

@@ -91,8 +91,11 @@ def test_parse_babyai_ids():
     assert (p.width, p.num_objs, p.max_steps) == (6, 3, 8 * 36)
     p = mg.parse_env_id("BabyAI-GoToLocal-v0")
     assert (p.width, p.num_objs) == (8, 8)
+    # r4: BossLevel now parses (the LevelGen tier); truly unknown ids
+    # still raise with the supported grid named
+    assert mg.parse_env_id("BabyAI-BossLevel-v0").success == "babyai_seq"
     with pytest.raises(ValueError, match="BabyAI-GoToLocal"):
-        mg.parse_env_id("BabyAI-BossLevel-v0")
+        mg.parse_env_id("BabyAI-NoSuchLevel-v0")
 
 
 # ---------------------------------------------------------------------------

@@ -113,8 +113,11 @@ def test_parse_maze_ids():
     p = mg.parse_env_id("BabyAI-Open-v0")
     assert (p.kind, p.success, p.num_objs) == \
         ("babyai_gotomaze", "babyai_open_color", 18)
+    # r4: GoToImpUnlock now parses (the unlock tier); truly unknown ids
+    # still raise with the supported grid named
+    assert mg.parse_env_id("BabyAI-GoToImpUnlock-v0").locked_room
     with pytest.raises(ValueError, match="BabyAI-GoToObjMaze"):
-        mg.parse_env_id("BabyAI-GoToImpUnlock-v0")
+        mg.parse_env_id("BabyAI-GoToNowhere-v0")
 
 
 # ---------------------------------------------------------------------------

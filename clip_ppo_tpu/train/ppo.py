@@ -359,13 +359,19 @@ def update_epochs_recurrent(
     cfg: PPOConfig,
     optimizer: optax.GradientTransformation,
     features_fn: agent_mod.FeatureFn = agent_mod.cnn_features,
+    axis_name: Optional[str] = None,
 ) -> tuple[dict, Any, UpdateMetrics]:
     """PPO epochs for the recurrent agent: minibatches are ENV slices
     (CleanRL ``ppo_atari_lstm``) so each minibatch replays its envs'
     whole [T] sequences from the iteration's initial LSTM state —
     time-contiguity is what makes the recurrent logprob recompute valid.
     ``batch`` stays in rollout layout ([T, N, ...]) and must include
-    ``dones``; num_envs must divide by num_minibatches."""
+    ``dones``; num_envs must divide by num_minibatches.
+
+    With ``axis_name`` set (data-parallel under ``shard_map``), ``batch``
+    / ``initial_lstm_state`` are the device-local env shards and ``cfg``
+    the local sizes; gradients and metrics are ``pmean``'d per minibatch
+    like :func:`update_epochs`, so parameters stay replicated."""
     assert cfg.num_envs % cfg.num_minibatches == 0, (
         f"recurrent PPO minibatches over envs: num_envs={cfg.num_envs} "
         f"not divisible by num_minibatches={cfg.num_minibatches}"
@@ -377,6 +383,11 @@ def update_epochs_recurrent(
     def minibatch_step(carry, mb):
         params, opt_state, stop = carry
         (loss, aux), grads = grad_fn(params, mb, cfg, features_fn)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, axis_name), aux
+            )
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -119,18 +119,19 @@ class Trainer:
             # flat minibatches with precomputed embeddings and are not
             # wired through the sequence replay (the reference has no
             # recurrent agent at all — this is a beyond-parity feature).
-            assert mesh is None, (
-                "--recurrent with a dp mesh is not supported yet: LSTM "
-                "minibatches are env slices, which conflicts with the "
-                "env-sharded update layout"
-            )
             assert embed_images_fn is None and embed_desc_fn is None \
                 and embed_random_fn is None and clip_lambda == 0.0, (
                 "--recurrent supports vanilla PPO only (no CLIP modality)"
             )
-            assert cfg.num_envs % cfg.num_minibatches == 0, (
-                f"recurrent PPO minibatches over envs: num_envs="
-                f"{cfg.num_envs} not divisible by "
+            # Under a dp mesh each device minibatches its LOCAL env
+            # slice (r4; the r3 restriction is lifted) — the local env
+            # count must still divide into minibatches.
+            local_envs = cfg.num_envs // (
+                mesh.shape["dp"] if mesh is not None else 1
+            )
+            assert local_envs % cfg.num_minibatches == 0, (
+                f"recurrent PPO minibatches over envs: per-device "
+                f"num_envs={local_envs} not divisible by "
                 f"num_minibatches={cfg.num_minibatches}"
             )
         self.tp = 1
@@ -288,6 +289,14 @@ class Trainer:
             obs=put(state.obs, batch_sharding(self.mesh)),
             next_done=put(state.next_done, batch_sharding(self.mesh)),
             key=replicate_tree(self.mesh, state.key),
+            # per-env LSTM carry shards with the envs (r4: recurrent+dp)
+            lstm_state=(
+                None if state.lstm_state is None
+                else jax.tree_util.tree_map(
+                    lambda h: put(h, batch_sharding(self.mesh)),
+                    state.lstm_state,
+                )
+            ),
             # the count table is global state (all envs' visits land in
             # it); replicated, with GSPMD reducing the scatter-adds
             counts=(
@@ -424,11 +433,20 @@ class Trainer:
         if self.recurrent:
             # data stays in rollout layout: minibatches are env slices
             # whose [T] sequences replay from the iteration's initial
-            # LSTM state (ppo.update_epochs_recurrent).
-            params, opt_state, metrics = ppo_mod.update_epochs_recurrent(
-                state.params, opt_state, data, initial_lstm_state,
-                k_update, self.cfg, self.optimizer, self.features_fn,
-            )
+            # LSTM state (ppo.update_epochs_recurrent). Under a mesh each
+            # device minibatches its local env slice with pmean'd grads
+            # (same deviation as `_update_sharded`: per-device shuffles;
+            # dp=1 reduces to the replicated update exactly).
+            if self.mesh is None:
+                params, opt_state, metrics = ppo_mod.update_epochs_recurrent(
+                    state.params, opt_state, data, initial_lstm_state,
+                    k_update, self.cfg, self.optimizer, self.features_fn,
+                )
+            else:
+                params, opt_state, metrics = self._update_recurrent_sharded(
+                    state.params, opt_state, data, initial_lstm_state,
+                    k_update,
+                )
         elif self.mesh is None:
             params, opt_state, metrics = ppo_mod.update_epochs(
                 state.params, opt_state, self._flatten(data), k_update,
@@ -516,6 +534,38 @@ class Trainer:
             out_specs=(rep, rep, rep),
             check_vma=False,
         )(params, opt_state, data, key, clip_embeddings, lam, frozen)
+
+    def _update_recurrent_sharded(self, params, opt_state, data,
+                                  initial_lstm_state, key):
+        """Recurrent PPO update as one shard_map over ``dp`` (r4): the
+        rollout-layout batch and the iteration-initial LSTM carry arrive
+        env-sharded; each device permutes and minibatches its LOCAL env
+        slice (sequences stay time-contiguous per env, so the recurrent
+        replay is untouched) and gradients/metrics pmean per minibatch.
+        At dp=1 this is the replicated update bit-for-bit."""
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.mesh.shape["dp"]
+        local_cfg = dataclasses.replace(
+            self.cfg, num_envs=self.cfg.num_envs // dp
+        )
+
+        def body(params, opt_state, data, h0c0, key):
+            if dp > 1:  # decorrelate per-device env shuffles
+                key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            return ppo_mod.update_epochs_recurrent(
+                params, opt_state, data, h0c0, key, local_cfg,
+                self.optimizer, self.features_fn, axis_name="dp",
+            )
+
+        rep = P()
+        return jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(rep, rep, P(None, "dp"), P("dp"), rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False,
+        )(params, opt_state, data, initial_lstm_state, key)
 
     def _embed_sharded(self, fn: Callable, x, frozen) -> jax.Array:
         """Run a flat-batch embedding fn per-shard over rollout-layout

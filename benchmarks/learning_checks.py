@@ -15,7 +15,8 @@ Each positional arg is ``env_id[=total_timesteps][,opt...]`` (default 1M
 steps). Options: ``recurrent`` (LSTM agent, --recurrent), ``eb=BETA``
 (SimHash count bonus, --exploration-bonus), ``envs=N`` (--num-envs; the
 LSTM minibatch is an env slice, so more envs = more sequences per
-minibatch), and ``ent=C`` (--ent-coef). Runs execute sequentially in
+minibatch), ``ent=C`` (--ent-coef), and ``hidden=H`` (--lstm-hidden).
+Runs execute sequentially in
 ONE process — on the tunneled TPU, rapid sequential client processes can
 wedge the tunnel (CLAUDE.md).
 """
@@ -52,6 +53,7 @@ def main() -> None:
         eb = 0.0
         num_envs = 8
         ent = 0.01
+        hidden = 128
         for o in opts:
             if o.startswith("eb="):
                 eb = float(o[3:])
@@ -59,6 +61,8 @@ def main() -> None:
                 num_envs = int(o[5:])
             elif o.startswith("ent="):
                 ent = float(o[4:])
+            elif o.startswith("hidden="):
+                hidden = int(o[7:])
         t0 = time.time()
         run_name = f"lcheck_{env_id}_{int(t0)}"
         out = ppo_minigrid.train(
@@ -66,7 +70,7 @@ def main() -> None:
                 env_id=env_id, seed=0, total_timesteps=steps,
                 capture_video=False, save_model=False,
                 recurrent=recurrent, exploration_bonus=eb,
-                num_envs=num_envs, ent_coef=ent,
+                num_envs=num_envs, ent_coef=ent, lstm_hidden=hidden,
             ),
             run_name=run_name,
         )

@@ -2,8 +2,11 @@
 
 .PHONY: test test-fast bench bench-configs smoke dryrun clean-runs
 
-test:            ## full suite on the 8-device virtual CPU mesh (~7 min)
-	python -m pytest tests/ -q
+test:            ## full suite, batched into isolated pytest processes
+	python tests/run_suite.py
+
+test-onepytest:  ## single-process suite (can segfault in XLA:CPU on this
+	python -m pytest tests/ -q  ## box after ~100 compiles — see run_suite.py)
 
 test-fast:       ## quick correctness slice
 	python -m pytest tests/test_ppo.py tests/test_clip.py tests/test_flags.py \

@@ -21,7 +21,11 @@ import subprocess
 import sys
 import time
 
-BATCH_FILES = 6
+# 6-file batches still hit the crash once (a compile-heavy batch —
+# hypothesis fuzz + the 165-id registry matrix — reached ~170 tests in
+# one process); 3 bounds every batch comfortably below the observed
+# threshold.
+BATCH_FILES = 3
 
 
 def main() -> int:

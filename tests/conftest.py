@@ -15,9 +15,16 @@ import sys
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in xla_flags:
+    # XLA:CPU splits each module for PARALLEL LLVM codegen by default;
+    # on this 1-core box the suite segfaults stochastically inside
+    # backend_compile_and_load (r3+r4: six crashes at unrelated tests,
+    # all green in isolation, persistent cache on or off). Serializing
+    # codegen removes the concurrency; tests/run_suite.py additionally
+    # retries a crashed batch once.
+    xla_flags = (xla_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax  # noqa: E402
 

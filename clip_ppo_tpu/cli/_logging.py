@@ -69,10 +69,14 @@ class IterationLogger:
         self.last_returns: list[float] = []
         self.b_returns = None
         self._iters_done = 0  # iterations handled by THIS logger (ETA basis)
+        self._steps_here = 0  # steps accumulated by THIS logger (SPS basis)
 
     @property
     def sps(self) -> float:
-        return self.global_step / (time.time() - self.start_time)
+        # Steps since THIS logger started, not global_step: after
+        # --resume-checkpoint global_step includes pre-resume steps while
+        # start_time is fresh, which would inflate charts/SPS.
+        return self._steps_here / (time.time() - self.start_time)
 
     def _episode(self, ret: float, length: int, step_at: int) -> None:
         if self.echo_episodes and not self.quiet:
@@ -83,6 +87,7 @@ class IterationLogger:
 
     def _scalars(self, it: int, scalars: dict) -> None:
         self.global_step += self.batch_size
+        self._steps_here += self.batch_size
         for tag in LOSS_TAGS:
             self.writer.add_scalar(
                 f"losses/{tag}", float(scalars[tag]), self.global_step

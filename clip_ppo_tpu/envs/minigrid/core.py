@@ -593,9 +593,13 @@ def parse_env_id(env_id: str) -> EnvParams:
     if m:
         # BabyAI Open (upstream minigrid/envs/babyai/open.py —
         # reconstructed): the GoTo maze generator (3×3 × 8×8 rooms, 18
-        # distractors, no reachability check upstream); the mission
-        # names the color of a uniformly drawn door — any door of that
-        # color satisfies OpenInstr.
+        # distractors). Upstream Open.gen_mission calls
+        # check_objs_reachable() right after add_distractors(18), so
+        # blocked layouts are rejection-sampled — _reset_babyai_gotomaze
+        # runs the same _objs_reachable rejection for this family
+        # (pinned by test_babyai_maze.py::test_open_layouts_reachable).
+        # The mission names the color of a uniformly drawn door — any
+        # door of that color satisfies OpenInstr.
         return EnvParams(
             "babyai_gotomaze", 22, 22, 8 * 8 * 8, False,
             success="babyai_open_color", num_objs=18,
@@ -3749,11 +3753,18 @@ def _seq_verify(
     ``RoomGridLevel.step`` calls ``instrs.verify(action)`` after every
     transition; AndInstr verifies each not-yet-successful child and
     latches its status; BeforeInstr verifies A until it succeeds, then B
-    (B is additionally verified on the step A completes, and always in
-    strict mode — completing B first then fails); AfterInstr mirrors it
-    with B first. Child failures propagate only from the half currently
-    being verified (upstream discards the same-step B status except its
-    success). Success → time-scaled reward; failure → terminate with 0.
+    — and in NON-STRICT mode also calls ``instr_b.verify(action)`` every
+    step pre-A (upstream verifier.py's ``self.b_done =
+    self.instr_b.verify(action)`` in the else branch), so an
+    And-composed B half accumulates its internal done latches before A
+    completes; a SINGLE-instruction B half does not persist (upstream
+    overwrites ``b_done`` with the fresh verify result each step, so a
+    pre-A success survives exactly one step — a narrowing here: we treat
+    it as not persisting at all). In strict mode completing B first
+    fails. AfterInstr mirrors it with B first. Child failures propagate
+    only from the half currently being verified (upstream records but
+    does not return the pre-gate half's failure). Success → time-scaled
+    reward; failure → terminate with 0.
 
     Atomic verifiers per slot (row layout in ``EnvState.instr``):
     goto — post-step front cell matches, with the r3 stale-entry pickup
@@ -3884,11 +3895,18 @@ def _seq_verify(
     succ_01 = group_done(nd_and, 0)
     fail_01 = jnp.any(gf_and)
 
+    # Upstream non-strict Before/After verify the pre-gate half every
+    # step too, so an AND-COMPOSED pre-gate half accumulates its
+    # internal latches before the gate opens (single-instr halves don't
+    # persist — upstream overwrites b_done each step; see docstring).
+    a_is_and = present[0] & present[1]
+    b_is_and = present[2] & present[3]
+
     # comp 2: before(A, B)
     gA = in_A & ~A_was
     nd_b, gfA = gated(d, gA)
     A_now = group_done(nd_b, 0)
-    gB = in_B & (A_was | A_now | seq_strict)
+    gB = in_B & (A_was | A_now | seq_strict | b_is_and)
     nd_b, gfB = gated(nd_b, gB)
     B_now = group_done(nd_b, 2)
     succ_before = (A_was | A_now) & B_now
@@ -3899,7 +3917,7 @@ def _seq_verify(
     gB3 = in_B & ~B_was
     nd_a, gfB3 = gated(d, gB3)
     B_now3 = group_done(nd_a, 2)
-    gA3 = in_A & (B_was | B_now3 | seq_strict)
+    gA3 = in_A & (B_was | B_now3 | seq_strict | a_is_and)
     nd_a, gfA3 = gated(nd_a, gA3)
     A_now3 = group_done(nd_a, 0)
     succ_after = (B_was | B_now3) & A_now3

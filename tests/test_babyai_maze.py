@@ -273,6 +273,35 @@ def test_open_mission_names_an_existing_door_color():
     assert len(colors) >= 2  # the mission color is sampled
 
 
+def test_open_layouts_reachable():
+    """Open rejection-samples blocked layouts like GoTo/Pickup: upstream
+    Open.gen_mission calls check_objs_reachable() right after
+    add_distractors(18) (minigrid/envs/babyai/open.py — the r3 advisor's
+    citation; the registration comment in core.py points here)."""
+    params = mg.parse_env_id("BabyAI-Open-v0")
+    for seed in range(8):
+        st = _reset(params, jax.random.PRNGKey(seed))
+        g = np.asarray(st.grid)
+        assert _all_objs_reachable(g[..., 0], np.asarray(st.agent_pos)), \
+            f"seed {seed}: Open produced a blocked layout"
+
+
+def test_unblock_pickup_blocked_property_statistical():
+    """The invert_reach rejection cap (256 in core.py) must make a
+    silently-all-reachable layout statistically impossible: across many
+    independent resets EVERY layout keeps >=1 blocked object. With the
+    measured per-attempt blocked rate >=1/3, 256 draws all-reachable has
+    p < 1e-45; 24 seeds here give ~1e-10 power against a cap regression
+    to O(1) attempts."""
+    params = mg.parse_env_id("BabyAI-UnblockPickup-v0")
+    for seed in range(24):
+        st = _reset(params, jax.random.PRNGKey(1000 + seed))
+        g = np.asarray(st.grid)
+        assert not _all_objs_reachable(
+            g[..., 0], np.asarray(st.agent_pos)), \
+            f"seed {seed}: UnblockPickup returned an all-reachable layout"
+
+
 def test_open_succeeds_on_matching_toggle_only():
     params = mg.parse_env_id("BabyAI-Open-v0")
     st = _reset(params, jax.random.PRNGKey(1))

@@ -340,6 +340,51 @@ def test_and_composition_via_injected_instr():
     assert term and r > 0
 
 
+def test_before_and_composed_b_latches_pre_a():
+    """Non-strict Before(A, And(B1, B2)): upstream verifier.py's
+    BeforeInstr calls instr_b.verify(action) every step pre-A in
+    non-strict mode, so the And's INTERNAL latches accumulate — a B
+    sub-goal completed before A stays done (the agent need not redo
+    it). A single-instruction B half does NOT persist (upstream
+    overwrites b_done each step; pinned by
+    test_opentwodoors_before_semantics). Injected over the
+    OpenDoorsOrderN4 4-door layout since no generated level emits
+    Before with an And half directly."""
+    params = mg.parse_env_id("BabyAI-OpenDoorsOrderN4-v0")
+    st = _find_order_seed(params, 2)  # any 4-door layout
+    g = np.asarray(st.grid)
+    instr = np.asarray(st.instr).copy()
+    doors = _doors(st.grid)
+    colors = [int(g[x, y, 1]) for x, y in doors]
+    assert len(set(colors)) >= 3
+    c1, c2, c3 = colors[:3]
+    row = instr[0].copy()
+    for slot, color in ((0, c1), (2, c2), (3, c3)):
+        instr[slot] = row
+        instr[slot][2] = color
+    instr[1] = 0
+    st = dataclasses.replace(
+        st,
+        instr=jnp.asarray(instr),
+        instr_state=jnp.zeros_like(st.instr_state),
+        target=jnp.zeros(8, jnp.int32).at[0].set(2),  # before
+    )
+    d1, d2, d3 = doors[:3]
+    # B1 (door c2) pre-A: the And-composed B half LATCHES
+    st1, r, term, _ = _toggle_door(params, st, *d2)
+    assert not term and r == 0.0
+    assert int(np.asarray(st1.instr_state)[2, 0]) == 1, \
+        "And-composed B sub-goal latches pre-A (upstream non-strict)"
+    # A (door c1) completes
+    st2, r, term, _ = _toggle_door(params, st1, *d1)
+    assert not term
+    assert int(np.asarray(st2.instr_state)[0, 0]) == 1
+    # B2 (door c3) completes B — success WITHOUT redoing B1
+    st3, r, term, _ = _toggle_door(params, st2, *d3)
+    assert term and r == pytest.approx(
+        1.0 - 0.9 * float(st3.step_count) / params.max_steps)
+
+
 def test_movetwoacross_before_putnext():
     params = mg.parse_env_id("BabyAI-MoveTwoAcrossS5N2-v0")
     st = mg.reset(params, jax.random.PRNGKey(5))

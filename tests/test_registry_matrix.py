@@ -13,12 +13,30 @@ experiment surface). Each id must parse to EnvParams and produce a
 well-formed reset state.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
 
 from clip_ppo_tpu.envs.minigrid import core as mg
+
+
+def _shard(items):
+    """Slice the id list per $CLIP_PPO_REGISTRY_SHARD="k/N" (k in 0..N-1).
+
+    Each registered id compiles its own reset program; running all 165 in
+    one process exceeds the box's XLA:CPU compile-accumulation crash
+    threshold (~120-150 compiles → SIGSEGV in backend_compile_and_load,
+    measured r4). run_suite.py launches this file as N shard subprocesses
+    so no single process compiles more than ~len/N programs.
+    """
+    spec = os.environ.get("CLIP_PPO_REGISTRY_SHARD")
+    if not spec:
+        return items
+    k, n = (int(p) for p in spec.split("/"))
+    return items[k::n]
 
 REGISTERED = [
     # empty.py
@@ -140,7 +158,7 @@ REGISTERED = [
 ]
 
 
-@pytest.mark.parametrize("env_id", REGISTERED)
+@pytest.mark.parametrize("env_id", _shard(REGISTERED))
 def test_registered_id_parses_and_resets(env_id):
     params = mg.parse_env_id(env_id)
     st = mg.reset(params, jax.random.PRNGKey(0))

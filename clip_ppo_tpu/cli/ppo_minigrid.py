@@ -126,6 +126,15 @@ class Args:
     lstm_hidden: int = 128
     """LSTM hidden size for --recurrent"""
 
+    # Mission conditioning (no reference equivalent — the reference drops
+    # the mission via ImgObsWrapper, `ppo_minigrid.py:110`; upstream
+    # BabyAI's instruction-following levels need it, models/mission.py)
+    mission_conditioning: bool = False
+    """FiLM-condition the policy/value trunk on the env's structured
+    instruction (EnvState.target/instr) — required to learn the
+    instruction-following MiniGrid/BabyAI families past their
+    mission-blind guess ceilings"""
+
     # Count-based exploration (no reference equivalent — LockedRoom /
     # ObstructedMaze are honest negatives under vanilla PPO there too)
     exploration_bonus: float = 0.0
@@ -133,6 +142,10 @@ class Args:
     reward before GAE (Tang et al. 2017; train/exploration.py)"""
     exploration_bits: int = 18
     """SimHash bucket bits for --exploration-bonus (table size 2^bits)"""
+    episodic_bonus: float = 0.0
+    """β_e > 0 adds an NGU-style first-visit-THIS-EPISODE bonus over the
+    same SimHash buckets (cracks per-episode-randomized layouts the
+    global table dilutes across; composable with --exploration-bonus)"""
 
     # TPU execution arguments (no reference equivalent — single-device there)
     num_devices: int = 1
@@ -221,6 +234,8 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         recurrent=args.recurrent,
         exploration_bonus=args.exploration_bonus,
         exploration_bits=args.exploration_bits,
+        episodic_bonus=args.episodic_bonus,
+        mission_conditioning=args.mission_conditioning,
     )
     if args.recurrent:
         from clip_ppo_tpu.models.recurrent import init_agent_params_recurrent
@@ -231,7 +246,8 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         )
     else:
         params = init_agent_params(
-            jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
+            jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3,
+            mission_dim=env.mission_dim if args.mission_conditioning else 0,
         )
     state = trainer.init_state(params, args.seed)
 
@@ -251,6 +267,8 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         }}
         if st.counts is not None:
             extras["counts"] = st.counts
+        if st.episodic_mem is not None:
+            extras["episodic_mem"] = st.episodic_mem
         if st.lstm_state is not None:
             extras["lstm_carry"] = st.lstm_state
         return extras
@@ -280,6 +298,9 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
             )
         if "counts" in extras:
             state = dataclasses.replace(state, counts=extras["counts"])
+        if "episodic_mem" in extras:
+            state = dataclasses.replace(
+                state, episodic_mem=extras["episodic_mem"])
         if "lstm_carry" in extras:
             state = dataclasses.replace(state, lstm_state=extras["lstm_carry"])
         state = trainer.shard_state(state)  # re-lay out on the dp mesh
@@ -289,7 +310,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         writer, profiler, recorder, num_envs=args.num_envs,
         batch_size=args.batch_size, num_iterations=args.num_iterations,
         quiet=not is_main,
-        log_intrinsic=args.exploration_bonus > 0.0,
+        log_intrinsic=args.exploration_bonus > 0.0 or args.episodic_bonus > 0.0,
     )
     logger.global_step = resumed_global_step  # 0 or the resumed checkpoint's
 

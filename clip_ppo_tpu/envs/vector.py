@@ -187,6 +187,29 @@ class JaxVectorEnv(HostVectorEnvMixin):
         env0 = jax.tree_util.tree_map(lambda x: x[0], state.env)
         return minigrid_core.render_rgb(self.params, env0)
 
+    # -- mission conditioning (beyond-reference, models/mission.py) ----------
+
+    @property
+    def mission_dim(self) -> int:
+        """Width of the per-env structured instruction vector."""
+        return 8 + 4 * 12 + 4 * 2
+
+    def mission_fn(self, state: VecState) -> jax.Array:
+        """[N, mission_dim] int32 structured instruction for the current
+        state: the mission target, the composite-instruction slots, and
+        the per-slot verifier latches (see EnvState docs in
+        envs/minigrid/core.py and the honesty note in models/mission.py).
+        All-device, per-step cheap (pure gathers/reshapes)."""
+        n = self.num_envs
+        return jnp.concatenate(
+            [
+                state.env.target.astype(jnp.int32),
+                state.env.instr.reshape(n, -1).astype(jnp.int32),
+                state.env.instr_state.reshape(n, -1).astype(jnp.int32),
+            ],
+            axis=-1,
+        )
+
     def rollout_desc(self, state: VecState) -> dict:
         """Small per-step state snapshot the rollout scan records for
         host-side text descriptions (MiniGrid descriptions are per-step,

@@ -37,12 +37,15 @@ def init_agent_params(
     in_channels: int = 3,
     hidden: int = 512,
     with_temporal_projection: bool = False,
+    mission_dim: int = 0,
 ) -> dict:
     """Initialize agent parameters.
 
     ``with_temporal_projection`` adds the 4·512→512 linear the Atari
     CLIP-PPO agent uses for frame-stacked CLIP features
-    (`clip_ppo_atari.py:183-187`).
+    (`clip_ppo_atari.py:183-187`). ``mission_dim > 0`` adds the FiLM
+    mission-conditioning head (models/mission.py, zero-initialized so
+    the conditioned agent starts identical to the unconditioned one).
     """
     k_tr, k_actor, k_critic, k_tp = jax.random.split(key, 4)
     params = {
@@ -53,6 +56,12 @@ def init_agent_params(
     if with_temporal_projection:
         params["temporal_projection"] = cnn.init_dense(
             k_tp, 4 * hidden, hidden, scale=np.sqrt(2)
+        )
+    if mission_dim > 0:
+        from clip_ppo_tpu.models import mission as mission_mod
+
+        params["mission"] = mission_mod.init_mission_params(
+            jax.random.fold_in(key, 7), mission_dim, hidden=hidden
         )
     return params
 

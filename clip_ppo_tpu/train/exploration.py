@@ -66,3 +66,57 @@ def count_bonus(
     new_counts = counts.at[idx.reshape(-1)].add(1)
     visits = new_counts[idx].astype(jnp.float32)
     return new_counts, jnp.float32(beta) * jax.lax.rsqrt(visits)
+
+
+# -- episodic novelty (NGU-style first-visit, r5) ---------------------------
+#
+# The global table above dilutes across per-episode-RANDOMIZED layouts
+# (KeyCorridorS6R3, MultiRoom-N6: every episode's buckets differ, so
+# counts grow everywhere and the bonus washes out — docs/PERFORMANCE.md)
+# and goes quiet once blocked-door composites exhaust their early
+# novelty. The episodic term pays for first visits WITHIN the current
+# episode (Never-Give-Up's episodic memory, simplified to a first-visit
+# indicator over the same SimHash buckets), so systematic within-episode
+# coverage stays rewarded forever and layout randomization cannot dilute
+# it. Composable with the global bonus:
+#     r_int = beta_g / sqrt(N_global(b))  +  beta_e * 1[first visit of b
+#                                              this episode]
+#
+# TPU shape: the per-env episodic memory is a bitset [N, 2^bits / 32]
+# (uint32 words; bits=18 -> 32 KiB per env) carried in TrainState and
+# dp-sharded WITH the envs (unlike the global table, which is
+# replicated). The rollout's visits replay as a [T]-step lax.scan over
+# the bitset — two gathers + two scatters per step on [N]-vectors, no
+# host traffic; the memory clears at the episode boundaries the batch
+# already records.
+
+
+def init_episodic_mem(num_envs: int, bits: int) -> jax.Array:
+    """Per-env first-visit bitset, cleared at episode boundaries."""
+    return jnp.zeros((num_envs, (1 << bits) >> 5), jnp.uint32)
+
+
+def episodic_bonus(
+    mem: jax.Array, idx: jax.Array, dones: jax.Array, beta: float
+) -> tuple[jax.Array, jax.Array]:
+    """First-visit bonus over one rollout.
+
+    ``idx`` [T, N] bucket indices; ``dones`` [T, N] — the done flag
+    ENTERING each step (RolloutBatch.dones), i.e. step t starts a fresh
+    episode for env n when dones[t, n] == 1, so the memory row clears
+    BEFORE step t's visit is tested. Returns (mem after the rollout,
+    [T, N] intrinsic rewards)."""
+    n = idx.shape[1]
+    rows = jnp.arange(n)
+
+    def step(mem, td):
+        idx_t, done_t = td
+        mem = jnp.where(done_t[:, None] > 0, jnp.uint32(0), mem)
+        word, bit = idx_t >> 5, (idx_t & 31).astype(jnp.uint32)
+        seen = (mem[rows, word] >> bit) & 1
+        bonus = jnp.float32(beta) * (1.0 - seen.astype(jnp.float32))
+        mem = mem.at[rows, word].set(mem[rows, word] | (jnp.uint32(1) << bit))
+        return mem, bonus
+
+    mem, bonuses = jax.lax.scan(step, mem, (idx, dones))
+    return mem, bonuses

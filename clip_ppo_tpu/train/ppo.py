@@ -274,11 +274,15 @@ def update_epochs(
     def epoch_step(carry, epoch_key):
         params, opt_state, mb_counter, stop = carry
         perm = jax.random.permutation(epoch_key, cfg.batch_size)
-        shuf = {k: v[perm] for k, v in batch.items()}
-        mbs = {
-            k: v.reshape((cfg.num_minibatches, cfg.minibatch_size) + v.shape[1:])
-            for k, v in shuf.items()
-        }
+        # tree_map'd so pytree batch entries (the mission-conditioned
+        # (obs, mission) pair) shuffle/split leaf-wise in lockstep.
+        shuf = jax.tree_util.tree_map(lambda v: v[perm], batch)
+        mbs = jax.tree_util.tree_map(
+            lambda v: v.reshape(
+                (cfg.num_minibatches, cfg.minibatch_size) + v.shape[1:]
+            ),
+            shuf,
+        )
         (params, opt_state, mb_counter, stop), aux = jax.lax.scan(
             minibatch_step, (params, opt_state, mb_counter, stop), mbs
         )

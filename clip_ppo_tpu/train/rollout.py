@@ -28,7 +28,10 @@ from clip_ppo_tpu.ops.disturbances import disturb_auto
 class RolloutBatch(NamedTuple):
     """Per-step storage, leading axes [num_steps, num_envs]."""
 
-    obs: jax.Array        # uint8 [T, N, H, W, C]
+    # uint8 [T, N, H, W, C]; with mission conditioning a PAIR
+    # (obs, mission[T, N, M] int32) — downstream code treats it as an
+    # opaque pytree (models/mission.py).
+    obs: Any
     actions: jax.Array    # int32 [T, N]
     logprobs: jax.Array   # f32 [T, N]
     rewards: jax.Array    # f32 [T, N]
@@ -61,9 +64,18 @@ def collect_rollout(
     frozen=None,
     collect_desc: bool = True,
     small_obs: bool = False,
+    mission_fn=None,
 ):
     """Scan ``num_steps`` env steps. Returns (vec_state, obs, next_done,
     key, RolloutBatch).
+
+    ``mission_fn``: optional ``fn(vec_state) -> [N, M] int32`` structured
+    instruction (models/mission.py). When given, the policy consumes and
+    the batch stores ``(obs, mission)`` pairs; ``features_fn`` must be
+    the matching mission-aware trunk. The carried ``obs`` stays plain —
+    the mission is recomputed from the env state wherever needed (it is
+    a cheap gather, and the env state is the single source of truth
+    across autoresets).
 
     ``small_obs``: the view fast path — ``obs`` (carry AND storage) are
     the raw [N, 7, 7, 3] MiniGrid views instead of their ×12 upscale;
@@ -94,8 +106,9 @@ def collect_rollout(
             x = disturb_auto(x, k_dist, disturbance, disturbance_semantics)
             obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
+        pol_obs = (obs, mission_fn(vec_state)) if mission_fn else obs
         action, logprob, value = agent_mod.get_action_and_value_gumbel(
-            params, obs, gumbel_t, features_fn, frozen
+            params, pol_obs, gumbel_t, features_fn, frozen
         )
         step_kwargs = {"small_obs": True} if small_obs else {}
         new_vec_state, new_obs, reward, term, trunc, info = env._step_impl(
@@ -123,7 +136,7 @@ def collect_rollout(
             env.render_env0(vec_state) if capture_video else None,
         )
         new_done = (term | trunc).astype(jnp.float32)
-        return (new_vec_state, new_obs, new_done, key), (obs, packed, aux)
+        return (new_vec_state, new_obs, new_done, key), (pol_obs, packed, aux)
 
     (vec_state, obs, next_done, key), (obs_t, packed, (desc, video)) = (
         jax.lax.scan(one_step, (vec_state, obs, next_done, key), gumbels)

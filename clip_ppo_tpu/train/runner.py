@@ -51,6 +51,8 @@ class TrainState:
     lstm_state: Any = None
     # SimHash visit-count table for the exploration bonus; None when off.
     counts: Any = None
+    # Per-env episodic first-visit bitset (--episodic-bonus); None when off.
+    episodic_mem: Any = None
 
 
 class Trainer:
@@ -102,17 +104,41 @@ class Trainer:
         recurrent: bool = False,
         exploration_bonus: float = 0.0,
         exploration_bits: int = 18,
+        episodic_bonus: float = 0.0,
+        mission_conditioning: bool = False,
     ):
         self.cfg = cfg
         self.env = env
         self.num_iterations = num_iterations
         self.mesh = mesh
         self.recurrent = recurrent
+        # Mission conditioning (models/mission.py): the policy consumes
+        # (obs, mission) pairs, with the structured instruction gathered
+        # from the env state each step (beyond-reference: the reference
+        # drops the mission via ImgObsWrapper, `ppo_minigrid.py:110`).
+        self.mission_conditioning = mission_conditioning
+        if mission_conditioning:
+            assert hasattr(env, "mission_fn"), (
+                "--mission-conditioning needs an env exposing mission_fn "
+                "(the pure-JAX MiniGrid/BabyAI families)"
+            )
+            assert not recurrent, (
+                "--mission-conditioning + --recurrent not wired yet "
+                "(the recurrent rollout/replay does not thread missions)"
+            )
+            assert embed_images_fn is None, (
+                "--mission-conditioning composes with the text modality "
+                "(embed_desc_fn), not the image modality: embed_images_fn "
+                "consumes raw image batches"
+            )
         # Count-based exploration (train/exploration.py): β > 0 adds
         # β/sqrt(N(bucket)) to the env reward before GAE. The projection
         # matrix is created in init_state (it needs the obs shape).
+        # episodic_bonus adds the NGU-style first-visit-this-episode term
+        # over the same buckets (r5; composable — see exploration.py).
         self.exploration_bonus = float(exploration_bonus)
         self.exploration_bits = exploration_bits
+        self.episodic_bonus = float(episodic_bonus)
         self._expl_proj = None
         if recurrent:
             # LSTM minibatches are env slices; CLIP embedding paths pair
@@ -178,6 +204,12 @@ class Trainer:
         )
         if self.view_mode:
             features_fn = agent_mod.make_view_features(env.view_upscale)
+        if mission_conditioning:
+            # Wrap AFTER the view decision so missions compose with the
+            # view fast path (the pair is (view, mission)).
+            from clip_ppo_tpu.models import mission as mission_mod
+
+            features_fn = mission_mod.make_mission_features(features_fn)
         self.features_fn = features_fn
         self.embed_images_fn = embed_images_fn
         self.embed_desc_fn = embed_desc_fn
@@ -242,7 +274,8 @@ class Trainer:
                 self.env.num_envs, params["lstm"]["w_hh"].shape[0]
             )
         counts = None
-        if self.exploration_bonus > 0.0:
+        episodic_mem = None
+        if self.exploration_bonus > 0.0 or self.episodic_bonus > 0.0:
             from clip_ppo_tpu.train import exploration
 
             obs_dim = int(np.prod(obs.shape[1:]))
@@ -253,7 +286,12 @@ class Trainer:
                 jax.random.PRNGKey(seed ^ 0x5EED), obs_dim,
                 self.exploration_bits,
             )
-            counts = exploration.init_counts(self.exploration_bits)
+            if self.exploration_bonus > 0.0:
+                counts = exploration.init_counts(self.exploration_bits)
+            if self.episodic_bonus > 0.0:
+                episodic_mem = exploration.init_episodic_mem(
+                    self.env.num_envs, self.exploration_bits
+                )
         state = TrainState(
             params=params,
             opt_state=opt_state,
@@ -263,6 +301,7 @@ class Trainer:
             key=key,
             lstm_state=lstm_state,
             counts=counts,
+            episodic_mem=episodic_mem,
         )
         return self.shard_state(state)
 
@@ -302,6 +341,12 @@ class Trainer:
             counts=(
                 None if state.counts is None
                 else replicate_tree(self.mesh, state.counts)
+            ),
+            # the episodic bitset is PER-ENV state — it shards with the
+            # envs on dp (each device replays only its shard's visits)
+            episodic_mem=(
+                None if state.episodic_mem is None
+                else put(state.episodic_mem, batch_sharding(self.mesh))
             ),
         )
 
@@ -365,6 +410,9 @@ class Trainer:
             frozen,
             collect_desc=collect_desc,
             small_obs=self.view_mode,
+            mission_fn=(
+                self.env.mission_fn if self.mission_conditioning else None
+            ),
         )
         state = dataclasses.replace(
             state, vec_state=vec_state, obs=obs, next_done=next_done, key=key
@@ -394,8 +442,12 @@ class Trainer:
                 state.params["critic"], rec.latent(feats, h)
             )[..., 0]
         else:
+            boot_obs = (
+                (state.obs, self.env.mission_fn(state.vec_state))
+                if self.mission_conditioning else state.obs
+            )
             next_value = agent_mod.get_value(
-                state.params, state.obs, self.outer_features_fn, frozen
+                state.params, boot_obs, self.outer_features_fn, frozen
             )
         advantages, returns = gae_mod.compute_gae(
             batch.rewards, batch.values, batch.dones,
@@ -417,8 +469,11 @@ class Trainer:
     @staticmethod
     def _flatten(data: dict) -> dict:
         """[T, N, ...] → t-major [T·N, ...] (the reference's b_* layout,
-        `ppo_minigrid.py:291-296`)."""
-        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in data.items()}
+        `ppo_minigrid.py:291-296`). tree_map'd so pytree entries (the
+        mission-conditioned (obs, mission) pair) flatten leaf-wise."""
+        return jax.tree_util.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), data
+        )
 
     def _update(self, state: TrainState, data: dict, iteration: jax.Array,
                 clip_embeddings: Optional[jax.Array], frozen=None,
@@ -610,20 +665,33 @@ class Trainer:
         self, state: TrainState, batch: rollout_mod.RolloutBatch
     ) -> tuple[TrainState, rollout_mod.RolloutBatch, jax.Array]:
         """Count-bonus reward shaping (train/exploration.py): one hash
-        matmul + one scatter-add for the whole rollout; the shaped reward
-        feeds GAE while episode stats keep reporting the raw env return.
-        Identity (bonus mean 0) when the feature is off. Shared by the
-        fused iteration and the split text-modality rollout half."""
-        if self.exploration_bonus <= 0.0:
+        matmul + one scatter-add for the whole rollout (plus, with the
+        episodic term, a [T]-scan over the per-env first-visit bitset);
+        the shaped reward feeds GAE while episode stats keep reporting
+        the raw env return. Identity (bonus mean 0) when off. Shared by
+        the fused iteration and the split text-modality rollout half."""
+        if self.exploration_bonus <= 0.0 and self.episodic_bonus <= 0.0:
             return state, batch, jnp.float32(0.0)
         from clip_ppo_tpu.train import exploration
 
-        idx = exploration.hash_obs(self._expl_proj, batch.obs)
-        counts, r_int = exploration.count_bonus(
-            state.counts, idx, self.exploration_bonus
-        )
+        # Mission conditioning stores (obs, mission) pairs; counts hash
+        # the IMAGE part (visit novelty, as without conditioning).
+        obs = batch.obs[0] if isinstance(batch.obs, tuple) else batch.obs
+        idx = exploration.hash_obs(self._expl_proj, obs)
+        r_int = jnp.zeros_like(batch.rewards)
+        if self.exploration_bonus > 0.0:
+            counts, r_g = exploration.count_bonus(
+                state.counts, idx, self.exploration_bonus
+            )
+            r_int = r_int + r_g
+            state = dataclasses.replace(state, counts=counts)
+        if self.episodic_bonus > 0.0:
+            mem, r_e = exploration.episodic_bonus(
+                state.episodic_mem, idx, batch.dones, self.episodic_bonus
+            )
+            r_int = r_int + r_e
+            state = dataclasses.replace(state, episodic_mem=mem)
         batch = batch._replace(rewards=batch.rewards + r_int)
-        state = dataclasses.replace(state, counts=counts)
         return state, batch, jnp.mean(r_int)
 
     def _iteration(self, state: TrainState, iteration: jax.Array, frozen):

@@ -1,0 +1,168 @@
+"""Mission-conditioned policy (models/mission.py, --mission-conditioning).
+
+The reference drops the mission string via ImgObsWrapper
+(`ppo_minigrid.py:110`), so instruction-following families are only
+learnable to mission-blind guess ceilings. The extension FiLM-conditions
+the trunk on the env's structured instruction. Pinned here: the env's
+mission vector, FiLM identity at init, exact logprob replay through the
+(obs, mission) storage pairing, gradient flow into the FiLM head,
+composition with the dp mesh and the exploration bonus, and the CLI
+surface.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_ppo_tpu.envs import JaxVectorEnv
+from clip_ppo_tpu.models import agent as agent_mod
+from clip_ppo_tpu.models import init_agent_params
+from clip_ppo_tpu.models import mission as mission_mod
+from clip_ppo_tpu.train import PPOConfig, Trainer
+
+
+def test_mission_vector_matches_env_state():
+    env = JaxVectorEnv("MiniGrid-Fetch-5x5-N2-v0", 3)
+    st, _ = env.reset_fn(jax.random.PRNGKey(0))
+    m = np.asarray(env.mission_fn(st))
+    assert m.shape == (3, env.mission_dim) and m.dtype == np.int32
+    np.testing.assert_array_equal(m[:, :8], np.asarray(st.env.target))
+    np.testing.assert_array_equal(
+        m[:, 8:56], np.asarray(st.env.instr).reshape(3, -1))
+    np.testing.assert_array_equal(
+        m[:, 56:], np.asarray(st.env.instr_state).reshape(3, -1))
+    # Fetch's mission names a placed (type, color): both fields set
+    assert (m[:, 0] > 0).all() and (m[:, 1] >= 0).all()
+
+
+def test_film_identity_at_init():
+    """Zero-initialized FiLM head: the conditioned features equal the
+    unconditioned ones exactly at init, for ANY mission."""
+    key = jax.random.PRNGKey(0)
+    params = init_agent_params(key, 7, mission_dim=64)
+    obs = jax.random.randint(key, (5, 7, 7, 3), 0, 12, jnp.uint8)
+    mission = jax.random.randint(key, (5, 64), -1, 400, jnp.int32)
+    base = agent_mod.make_view_features(12)
+    fn = mission_mod.make_mission_features(base)
+    np.testing.assert_array_equal(
+        np.asarray(fn(params, (obs, mission))),
+        np.asarray(base(params, obs)),
+    )
+
+
+def test_featurize_wildcards_and_positions():
+    m = jnp.asarray([[-1, 0, 3, 484]], jnp.int32)
+    f = np.asarray(mission_mod.featurize(m))
+    assert f.shape == (1, 4 * (mission_mod.ONE_HOT + 1))
+    per = mission_mod.ONE_HOT + 1
+    # -1 → one-hot bin 0; 484 clips to the top bin but keeps its scalar
+    assert f[0, 0] == 1.0
+    assert f[0, 3 * per + mission_mod.ONE_HOT - 1] == 1.0
+    assert f[0, 3 * per + per - 1] == pytest.approx(484 / 512)
+
+
+@pytest.fixture(scope="module")
+def fetch_setup():
+    env = JaxVectorEnv("MiniGrid-Fetch-5x5-N2-v0", 4)
+    cfg = PPOConfig(num_envs=4, num_steps=16, num_minibatches=2,
+                    update_epochs=2)
+    tr = Trainer(cfg, env, num_iterations=5, mission_conditioning=True)
+    params = init_agent_params(
+        jax.random.PRNGKey(0), env.num_actions, mission_dim=env.mission_dim)
+    return env, cfg, tr, params
+
+
+def test_replay_matches_rollout_logprobs(fetch_setup):
+    """At unchanged parameters, recomputing logprobs from the stored
+    (obs, mission) pairs must reproduce the rollout's logprobs exactly —
+    any misalignment between stored image and stored mission breaks it."""
+    env, cfg, tr, params = fetch_setup
+    assert tr.view_mode, "mission conditioning keeps the view fast path"
+    state = tr.init_state(params, 0)
+    state2, batch = jax.jit(tr._rollout)(state, None)
+    assert isinstance(batch.obs, tuple) and batch.obs[1].shape == (
+        cfg.num_steps, cfg.num_envs, env.mission_dim)
+    flat = tr._flatten({"obs": batch.obs, "actions": batch.actions,
+                        "logprobs": batch.logprobs})
+    logp, _, _, _ = agent_mod.evaluate_actions(
+        state2.params, flat["obs"], flat["actions"], tr.features_fn)
+    np.testing.assert_allclose(
+        np.asarray(logp), np.asarray(flat["logprobs"]), rtol=1e-6, atol=1e-6)
+
+
+def test_training_updates_film_head(fetch_setup):
+    env, cfg, tr, params = fetch_setup
+    state = tr.init_state(params, 0)
+    for it in range(1, 4):
+        state, scalars, ep = tr.run_iteration(state, it)
+        logs, _ = tr.fetch_logs(scalars, ep)
+        assert np.isfinite(logs["policy_loss"])
+    w = np.asarray(state.params["mission"]["film"]["w"])
+    assert np.abs(w).max() > 0.0, "gradients must flow into the FiLM head"
+
+
+def test_mission_dp2_runs_and_dp1_matches_unsharded():
+    from clip_ppo_tpu.parallel.mesh import make_mesh
+
+    def run(mesh, bonus=0.0):
+        env = JaxVectorEnv("MiniGrid-Fetch-5x5-N2-v0", 4)
+        cfg = PPOConfig(num_envs=4, num_steps=8, num_minibatches=2,
+                        update_epochs=2)
+        tr = Trainer(cfg, env, num_iterations=3, mission_conditioning=True,
+                     mesh=mesh, exploration_bonus=bonus)
+        params = init_agent_params(
+            jax.random.PRNGKey(0), env.num_actions,
+            mission_dim=env.mission_dim)
+        state = tr.init_state(params, 0)
+        out = []
+        for it in range(1, 4):
+            state, scalars, ep = tr.run_iteration(state, it)
+            out.append(tr.fetch_logs(scalars, ep)[0])
+        return out
+
+    base = run(None)
+    dp1 = run(make_mesh(num_devices=1))
+    for a, b in zip(base, dp1):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k, equal_nan=True)
+    # dp2 + exploration bonus: composes, finite, intrinsic flows
+    logs = run(make_mesh(num_devices=2), bonus=0.02)
+    assert np.isfinite(logs[-1]["policy_loss"])
+    assert logs[-1]["intrinsic_reward"] > 0.0
+
+
+def test_cli_flag_and_checkpoint_roundtrip(tmp_path):
+    import shutil
+
+    from clip_ppo_tpu.cli import ppo_minigrid as cli
+
+    args = cli.Args(
+        env_id="MiniGrid-Fetch-5x5-N2-v0", total_timesteps=512,
+        num_envs=4, num_steps=16, num_minibatches=2, update_epochs=1,
+        capture_video=False, mission_conditioning=True,
+        save_model=True, save_freq=512, model_path=str(tmp_path),
+        exp_name="test_mission_cli", seed=3,
+    )
+    out = cli.train(args, run_name="test_mission_cli")
+    assert out["global_step"] == 512
+    ckpts = list(tmp_path.glob("*_final*"))
+    assert ckpts, "final checkpoint written"
+    # the payload round-trips the FiLM head
+    from clip_ppo_tpu.io import load_checkpoint
+
+    env = JaxVectorEnv(args.env_id, args.num_envs)
+    template = init_agent_params(
+        jax.random.PRNGKey(0), env.num_actions, mission_dim=env.mission_dim)
+    cfg = PPOConfig(num_envs=4, num_steps=16, num_minibatches=2,
+                    update_epochs=1)
+    tr = Trainer(cfg, env, num_iterations=1, mission_conditioning=True)
+    st = tr.init_state(template, 0)
+    params, _, it, gs, _ = load_checkpoint(
+        str(ckpts[0]), st.params, st.opt_state)
+    assert "mission" in params and gs == 512
+    shutil.rmtree("runs/test_mission_cli", ignore_errors=True)

@@ -13,10 +13,12 @@ is visible from one line.
 
 Each positional arg is ``env_id[=total_timesteps][,opt...]`` (default 1M
 steps). Options: ``recurrent`` (LSTM agent, --recurrent), ``eb=BETA``
-(SimHash count bonus, --exploration-bonus), ``envs=N`` (--num-envs; the
-LSTM minibatch is an env slice, so more envs = more sequences per
-minibatch), ``ent=C`` (--ent-coef), and ``hidden=H`` (--lstm-hidden).
-Runs execute sequentially in
+(SimHash count bonus, --exploration-bonus), ``epb=BETA`` (episodic
+first-visit bonus, --episodic-bonus), ``mission``
+(--mission-conditioning), ``envs=N`` (--num-envs; the LSTM minibatch is
+an env slice, so more envs = more sequences per minibatch), ``ent=C``
+(--ent-coef), ``steps=N`` (--num-steps), and ``hidden=H``
+(--lstm-hidden). Runs execute sequentially in
 ONE process — on the tunneled TPU, rapid sequential client processes can
 wedge the tunnel (CLAUDE.md).
 """
@@ -50,15 +52,22 @@ def main() -> None:
         env_id, _, steps = head.partition("=")
         steps = int(steps or 1_000_000)
         recurrent = "recurrent" in opts
+        mission = "mission" in opts
         eb = 0.0
+        epb = 0.0
         num_envs = 8
+        num_steps = 128
         ent = 0.01
         hidden = 128
         for o in opts:
             if o.startswith("eb="):
                 eb = float(o[3:])
+            elif o.startswith("epb="):
+                epb = float(o[4:])
             elif o.startswith("envs="):
                 num_envs = int(o[5:])
+            elif o.startswith("steps="):
+                num_steps = int(o[6:])
             elif o.startswith("ent="):
                 ent = float(o[4:])
             elif o.startswith("hidden="):
@@ -70,7 +79,9 @@ def main() -> None:
                 env_id=env_id, seed=0, total_timesteps=steps,
                 capture_video=False, save_model=False,
                 recurrent=recurrent, exploration_bonus=eb,
-                num_envs=num_envs, ent_coef=ent, lstm_hidden=hidden,
+                episodic_bonus=epb, mission_conditioning=mission,
+                num_envs=num_envs, num_steps=num_steps, ent_coef=ent,
+                lstm_hidden=hidden,
             ),
             run_name=run_name,
         )
@@ -90,7 +101,9 @@ def main() -> None:
         line = {
             "metric": "learning_check", "env_id": env_id, "steps": steps,
             **({"recurrent": True} if recurrent else {}),
+            **({"mission": True} if mission else {}),
             **({"exploration_bonus": eb} if eb else {}),
+            **({"episodic_bonus": epb} if epb else {}),
             "sps": round(out["sps"], 1),
             "wall_s": round(time.time() - t0, 1),
             "episodes": len(ret),

@@ -225,6 +225,22 @@ def _use_stream_mlp(impl: str, mask, batch: int, width: int) -> bool:
     )
 
 
+def _use_stream_attn(impl: str, mask, batch: int, width: int) -> bool:
+    """r5: at the same over-VMEM widths, the attention half can run the
+    weight-streaming block kernel (pallas_block.fused_attn_block_stream:
+    qkv weights in HBM, [D, ck] tiles double-buffered; LN1/qkv/attention
+    intermediates never touch HBM). Opt-out via CLIP_PPO_ATTN_STREAM=0;
+    see docs/PERFORMANCE.md for the measured A/B."""
+    if mask is not None and not isinstance(mask, str):
+        return False
+    mlp_fits_vmem = 2 * width * 4 * width * 2 <= (12 << 20)
+    return (
+        impl == "auto" and batch >= 64 and not mlp_fits_vmem
+        and jax.default_backend() == "tpu"
+        and os.environ.get("CLIP_PPO_ATTN_STREAM", "1") == "1"
+    )
+
+
 def resblock(
     p: dict, x: jax.Array, heads: int, mask: Optional[jax.Array] = None,
     impl: str = "auto",
@@ -239,7 +255,16 @@ def resblock(
         x = fused_attn_block(x, p["ln_1"], p["attn"], heads,
                              causal=(mask == "causal"))
         return fused_mlp_block(x, p["ln_2"], p["mlp"])
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads, mask, impl)
+    if _use_stream_attn(impl, mask, x.shape[0], x.shape[-1]):
+        from clip_ppo_tpu.models.clip.pallas_block import (
+            fused_attn_block_stream,
+        )
+
+        x = fused_attn_block_stream(x, p["ln_1"], p["attn"], heads,
+                                    causal=(mask == "causal"))
+    else:
+        x = x + attention(p["attn"], layer_norm(p["ln_1"], x), heads,
+                          mask, impl)
     if _use_stream_mlp(impl, mask, x.shape[0], x.shape[-1]):
         from clip_ppo_tpu.models.clip.pallas_block import fused_mlp_block
 

@@ -450,6 +450,134 @@ def _mlp_stream_kernel(x_ref, wfc_hbm, bfc_ref, wproj_hbm, bproj_ref,
     o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
 
 
+def _attn_stream_kernel(x_ref, wqkv_hbm, bqkv_ref, wout_ref, bout_ref,
+                        g_ref, b_ref, o_ref, y_scratch, qkv_scratch,
+                        wq_buf, sem_q, *, heads: int, t: int, d_head: int,
+                        scale: float, causal: bool, eps: float, ck: int,
+                        n_chunks: int):
+    """Weight-streaming attention block (VERDICT r4 item 6): ViT-L/14
+    widths where the r4 A/B showed the resident-weight block kernel
+    LOSING to fused-qkv (323.8 vs 300.3 ms — the 8 MB qkv+out weights
+    squeezed the activation blocks). Here ``wqkv`` stays in HBM and
+    [D, ck] column tiles stream double-buffered behind the qkv matmul
+    (the r4 MLP-streaming recipe); ``wout`` ([D, D], 2 MB bf16) rides as
+    a resident VMEM operand. LN1, the qkv projection, head-pair
+    attention, the output projection and the residual all fuse into one
+    pass — LN/qkv/attn intermediates never touch HBM."""
+    bb, _, d = x_ref.shape
+    x = x_ref[...]
+    y_scratch[...] = _ln(x, g_ref[...], b_ref[...], eps).reshape(bb * t, d)
+
+    def q_dma(slot, c):
+        return pltpu.make_async_copy(
+            wqkv_hbm.at[:, pl.ds(c * ck, ck)], wq_buf.at[slot],
+            sem_q.at[slot])
+
+    q_dma(0, 0).start()
+
+    def body(c, _):
+        slot = c % 2
+        nxt = (c + 1) % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            q_dma(nxt, c + 1).start()
+
+        q_dma(slot, c).wait()
+        col = jax.lax.dot_general(
+            y_scratch[...], wq_buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[0, pl.ds(c * ck, ck)].astype(jnp.float32)[None]
+        qkv_scratch[:, :, pl.ds(c * ck, ck)] = (
+            col.astype(x.dtype).reshape(bb, t, ck))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    attn = _pair_attention(qkv_scratch, heads, t, d_head, scale, causal)
+    out = jax.lax.dot_general(
+        attn.reshape(bb * t, d), wout_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bout_ref[...].astype(jnp.float32)
+    o_ref[...] = x + out.astype(x.dtype).reshape(bb, t, d)
+
+
+def _attn_stream_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                          heads, causal, eps, block_batches, interpret):
+    bsz, t, d = x.shape
+    d3 = wqkv.shape[1]
+    itemsize = x.dtype.itemsize
+    scale = 1.0 / np.sqrt(d // heads)
+    # [D, ck] tile ≤ 1 MB → two slots hold ≤ 2 MB; ck must stay a
+    # multiple of 128 lanes for the dynamic lane-slice stores.
+    ck = d3
+    while ck > 128 and (d * ck * itemsize > (1 << 20) or d3 % ck):
+        ck //= 2
+    n_chunks = d3 // ck
+    if block_batches is None:
+        env = os.environ.get("CLIP_PPO_ATTN_STREAM_BB")
+        if env:
+            block_batches = int(env)
+        else:
+            # x + y + qkv scratch (3D) + out ≈ 6·T·D·itemsize per batch
+            # element, next to the resident wout (D², 2 MB) and the 2 MB
+            # of streamed tiles.
+            per_b = t * d * 6 * itemsize
+            block_batches = max(1, min(8, (8 << 20) // per_b))
+    bb = block_batches
+    pad = (-bsz) % bb
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, t, d), x.dtype)], axis=0)
+    blocks = (bsz + pad) // bb
+    kernel = functools.partial(
+        _attn_stream_kernel, heads=heads, t=t, d_head=d // heads,
+        scale=scale, causal=causal, eps=eps, ck=ck, n_chunks=n_chunks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # wqkv stays in HBM
+            _full_spec(bqkv.shape),
+            _full_spec(wout.shape),
+            _full_spec(bout.shape),
+            _full_spec(g.shape),
+            _full_spec(b.shape),
+        ],
+        out_specs=pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz + pad, t, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb * t, d), x.dtype),          # LN(x)
+            pltpu.VMEM((bb, t, d3), x.dtype),          # qkv
+            pltpu.VMEM((2, d, ck), x.dtype),           # wqkv tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wqkv, bqkv, wout, bout, g, b)
+    return out[:bsz]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _attn_stream_p(x, wqkv, bqkv, wout, bout, g, b,
+                   heads, causal, eps, block_batches, interpret):
+    return _attn_stream_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                                 heads, causal, eps, block_batches,
+                                 interpret)
+
+
+def _attn_stream_fwd(x, wqkv, bqkv, wout, bout, g, b,
+                     heads, causal, eps, block_batches, interpret):
+    out = _attn_stream_fwd_impl(x, wqkv, bqkv, wout, bout, g, b,
+                                heads, causal, eps, block_batches,
+                                interpret)
+    return out, (x, wqkv, bqkv, wout, bout, g, b)
+
+
+_attn_stream_p.defvjp(_attn_stream_fwd, _attn_block_bwd)
+
+
 def _mlp_stream_fwd_impl(x, wfc, bfc, wproj, bproj, g, b,
                          eps, block_batches, interpret):
     bsz, t, d = x.shape
@@ -591,6 +719,34 @@ def fused_attn_block(
         interpret = jax.default_backend() != "tpu"
     dt = x.dtype
     return _attn_block_p(
+        x,
+        attn["in_proj_w"].astype(dt).T,
+        _row(attn["in_proj_b"], dt),
+        attn["out_proj_w"].astype(dt).T,
+        _row(attn["out_proj_b"], dt),
+        _row(ln1["scale"], dt),
+        _row(ln1["bias"], dt),
+        heads, causal, eps, block_batches, interpret,
+    )
+
+
+def fused_attn_block_stream(
+    x: jax.Array,
+    ln1: dict,
+    attn: dict,
+    heads: int,
+    causal: bool = False,
+    eps: float = 1e-5,
+    block_batches: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`fused_attn_block` with the qkv weights streamed from HBM —
+    for ViT-L/14-class widths where resident weights starve the
+    activation blocks (see _attn_stream_kernel)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dt = x.dtype
+    return _attn_stream_p(
         x,
         attn["in_proj_w"].astype(dt).T,
         _row(attn["in_proj_b"], dt),

@@ -248,3 +248,60 @@ def test_auto_routing_width_gated(monkeypatch):
     # Dense mask arrays (non-sentinel) never take the kernel paths.
     mask = jnp.zeros((4, 4))
     assert not m._use_fused_block("auto", mask, 1024, 768)
+
+
+# -- r5: weight-streaming ATTENTION block (ViT-L/14 widths) ------------------
+
+
+def _attn_stream_case(seed=12, causal=False, batch=3, t=7):
+    cfg = CLIPConfig(embed_dim=32, vision_width=1024, vision_layers=1,
+                     vision_heads=16, text_layers=1)
+    p = init_clip_params(jax.random.PRNGKey(seed), cfg)
+    blk = p["visual"]["transformer"]["resblocks"][0]
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (batch, t, 1024))
+    mask = "causal" if causal else None
+    ref = x + attention(blk["attn"], layer_norm(blk["ln_1"], x), 16, mask,
+                        impl="xla")
+    return blk, x, ref
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_stream_matches_reference(causal):
+    from clip_ppo_tpu.models.clip.pallas_block import fused_attn_block_stream
+
+    blk, x, ref = _attn_stream_case(causal=causal)
+    out = fused_attn_block_stream(x, blk["ln_1"], blk["attn"], 16,
+                                  causal=causal, block_batches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attn_stream_grad_matches_xla():
+    from clip_ppo_tpu.models.clip.pallas_block import fused_attn_block_stream
+
+    blk, x, _ = _attn_stream_case(seed=13)
+
+    def ref_loss(x):
+        return jnp.sum((x + attention(
+            blk["attn"], layer_norm(blk["ln_1"], x), 16, None,
+            impl="xla")) ** 2)
+
+    g_ref = jax.grad(ref_loss)(x)
+    g_chk = jax.grad(
+        lambda x: jnp.sum(fused_attn_block_stream(
+            x, blk["ln_1"], blk["attn"], 16, block_batches=2) ** 2)
+    )(x)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_chk) / scale,
+                               np.asarray(g_ref) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_attn_stream_padding():
+    from clip_ppo_tpu.models.clip.pallas_block import fused_attn_block_stream
+
+    blk, x, ref = _attn_stream_case(seed=14, batch=5)
+    out = fused_attn_block_stream(x, blk["ln_1"], blk["attn"], 16,
+                                  block_batches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -165,6 +165,14 @@ class Args:
     resume_checkpoint: str = ""
     """path to checkpoint file to resume training from"""
 
+    # Mission conditioning (no reference equivalent — the reference drops
+    # the mission via ImgObsWrapper, `clip_ppo_minigrid.py:142-155`;
+    # models/mission.py). Composes with the text modality; the image
+    # modality's embed path consumes raw image batches and is rejected.
+    mission_conditioning: bool = False
+    """FiLM-condition the policy/value trunk on the env's structured
+    instruction (EnvState.target/instr)"""
+
     # TPU execution arguments (no reference equivalent — single-device there)
     num_devices: int = 1
     """data-parallel device count (0 = all available); envs and the PPO
@@ -378,9 +386,11 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         capture_env0=args.capture_video,
         frozen_params=frozen_params,
         mesh=mesh,
+        mission_conditioning=args.mission_conditioning,
     )
     params = init_agent_params(
-        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3
+        jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3,
+        mission_dim=env.mission_dim if args.mission_conditioning else 0,
     )
     state = trainer.init_state(params, args.seed)
 

@@ -136,6 +136,50 @@ def test_mission_dp2_runs_and_dp1_matches_unsharded():
     assert logs[-1]["intrinsic_reward"] > 0.0
 
 
+def test_clip_cli_mission_composes_with_text_modality(tmp_path, monkeypatch):
+    """--mission-conditioning on the CLIP-PPO MiniGrid CLI: composes
+    with the text modality (the CLIP loss rides batch.desc, the policy
+    rides (obs, mission))."""
+    import glob
+    import os
+
+    from clip_ppo_tpu.models import clip_utils
+    from clip_ppo_tpu.models.clip import CLIPConfig
+    from clip_ppo_tpu.models.clip.model import init_clip_params
+
+    # embed_dim must match the 512-d agent latent (the reference's
+    # cosine-loss dim check, `clip_ppo_utils.py:62-64`)
+    tiny = CLIPConfig(
+        embed_dim=512, image_size=224, patch_size=56, vision_width=64,
+        vision_layers=1, vision_heads=2, text_width=64, text_heads=2,
+        text_layers=1, vocab_size=512, context_length=77,
+    )
+    cp = init_clip_params(jax.random.PRNGKey(0), tiny)
+    monkeypatch.setattr(clip_utils, "load_clip_model",
+                        lambda *a, **k: (cp, tiny))
+
+    from clip_ppo_tpu.cli.clip_ppo_minigrid import (
+        Args, MiniGridClipPPOConfig, train,
+    )
+
+    args = Args(
+        env_id="MiniGrid-Fetch-5x5-N2-v0", total_timesteps=64,
+        num_envs=2, num_steps=16, num_minibatches=2, update_epochs=1,
+        capture_video=False, verbose=False, save_model=False,
+        mission_conditioning=True,
+        clip_config=MiniGridClipPPOConfig(
+            clip_lambda=1e-5, clip_modality="text"),
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        out = train(args, run_name="t_mission_text")
+    finally:
+        os.chdir(cwd)
+    assert out["global_step"] == 64
+    assert glob.glob(str(tmp_path / "runs" / "t_mission_text" / "events*"))
+
+
 def test_cli_flag_and_checkpoint_roundtrip(tmp_path):
     import shutil
 

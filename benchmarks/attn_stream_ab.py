@@ -97,7 +97,16 @@ if a and bt:
     print(f"B vs A (attn half): {a / bt:.3f}x", flush=True)
 
 # ---- full encode A/B (the docs/PERFORMANCE.md 293.5 ms metric) -------------
+#
+# Unscanned single-encode with median-of-9 minus measured null-fetch RTT:
+# wrapping the 48-Pallas-kernel stream+stream encode in a lax.scan makes
+# the tunnel's tpu_compile_helper subprocess die (exit 1 — observed r5);
+# the unscanned program compiles (~6 min cold). Each arm still runs in
+# THIS one process; run arms in separate processes if the helper dies
+# across arms (also observed — its state accumulates per process).
 import os
+
+import numpy as np
 
 from clip_ppo_tpu.models.clip import CLIP_CONFIGS
 from clip_ppo_tpu.models.clip.model import encode_image, init_clip_params
@@ -109,22 +118,30 @@ imgs = jax.random.normal(ks[5], (B, 224, 224, 3), jnp.float32)
 
 def bench_encode(tag):
     @jax.jit
-    def encN(params, imgs):
-        def body(c, _):
-            out = encode_image(params, cfg, imgs + c * 1e-6, jnp.bfloat16)
-            return out[0, 0] * 1e-9, ()
-        c, _ = jax.lax.scan(body, 0.0, None, length=N)
-        return c
+    def enc(params, imgs):
+        return encode_image(params, cfg, imgs, jnp.bfloat16)[0, 0]
+
+    @jax.jit
+    def null(imgs):
+        return imgs[0, 0, 0, 0]
 
     try:
-        _ = float(encN(params, imgs))
+        _ = float(enc(params, imgs))
     except Exception as e:  # noqa: BLE001
         print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
         return None
-    t0 = time.perf_counter()
-    _ = float(encN(params, imgs))
-    per = (time.perf_counter() - t0) / N
-    print(f"{tag}: batch-{B} full L/14 encode {per * 1e3:.1f} ms", flush=True)
+    _ = float(null(imgs))
+    rtts, ts = [], []
+    for _i in range(9):
+        t0 = time.perf_counter()
+        _ = float(null(imgs))
+        rtts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(enc(params, imgs))
+        ts.append(time.perf_counter() - t0)
+    per = np.median(ts) - np.median(rtts)
+    print(f"{tag}: batch-{B} full L/14 encode {per * 1e3:.1f} ms "
+          f"(rtt {np.median(rtts) * 1e3:.1f})", flush=True)
     return per
 
 

@@ -229,15 +229,23 @@ def _use_stream_attn(impl: str, mask, batch: int, width: int) -> bool:
     """r5: at the same over-VMEM widths, the attention half can run the
     weight-streaming block kernel (pallas_block.fused_attn_block_stream:
     qkv weights in HBM, [D, ck] tiles double-buffered; LN1/qkv/attention
-    intermediates never touch HBM). Opt-out via CLIP_PPO_ATTN_STREAM=0;
-    see docs/PERFORMANCE.md for the measured A/B."""
+    intermediates never touch HBM). OPT-IN via CLIP_PPO_ATTN_STREAM=1:
+    measured r5 on v5e at batch 256, the kernel is 1.80× the
+    fused-qkv arm on the ISOLATED 24-layer attention stack (224.3 →
+    124.8 ms) but a WASH on the full L/14 encode (296.7 vs 296.3 ms,
+    same unscanned median-minus-RTT methodology) — in context XLA
+    cross-layer fusion already runs the attention side at ~5.2 ms/layer,
+    so the LN/projection round trips the kernel removes are not the
+    in-context bound; and the 48-Pallas-kernel program costs ~6-minute
+    Mosaic compiles (a lax.scan wrapper crashes the tunnel's
+    compile helper outright). docs/PERFORMANCE.md has the full table."""
     if mask is not None and not isinstance(mask, str):
         return False
     mlp_fits_vmem = 2 * width * 4 * width * 2 <= (12 << 20)
     return (
         impl == "auto" and batch >= 64 and not mlp_fits_vmem
         and jax.default_backend() == "tpu"
-        and os.environ.get("CLIP_PPO_ATTN_STREAM", "1") == "1"
+        and os.environ.get("CLIP_PPO_ATTN_STREAM", "0") == "1"
     )
 
 

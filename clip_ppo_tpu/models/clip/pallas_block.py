@@ -473,26 +473,24 @@ def _attn_stream_kernel(x_ref, wqkv_hbm, bqkv_ref, wout_ref, bout_ref,
             wqkv_hbm.at[:, pl.ds(c * ck, ck)], wq_buf.at[slot],
             sem_q.at[slot])
 
+    # Python-unrolled chunk loop (n_chunks is small and static): the
+    # VMEM lane-slice STORES into qkv_scratch then have static offsets —
+    # a traced store offset on the lane dim fails Mosaic compile (the
+    # MLP stream kernel never stores to a traced lane slice, it only
+    # reads bias slices, which are supported). DMAs stay double-buffered
+    # through the two static slots.
     q_dma(0, 0).start()
-
-    def body(c, _):
+    for c in range(n_chunks):
         slot = c % 2
-        nxt = (c + 1) % 2
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            q_dma(nxt, c + 1).start()
-
+        if c + 1 < n_chunks:
+            q_dma((c + 1) % 2, c + 1).start()
         q_dma(slot, c).wait()
         col = jax.lax.dot_general(
             y_scratch[...], wq_buf[slot], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bqkv_ref[0, pl.ds(c * ck, ck)].astype(jnp.float32)[None]
-        qkv_scratch[:, :, pl.ds(c * ck, ck)] = (
+        ) + bqkv_ref[0, c * ck:(c + 1) * ck].astype(jnp.float32)[None]
+        qkv_scratch[:, :, c * ck:(c + 1) * ck] = (
             col.astype(x.dtype).reshape(bb, t, ck))
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
     attn = _pair_attention(qkv_scratch, heads, t, d_head, scale, causal)
     out = jax.lax.dot_general(
         attn.reshape(bb * t, d), wout_ref[...], (((1,), (0,)), ((), ())),

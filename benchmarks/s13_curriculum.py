@@ -18,6 +18,10 @@ restored in-flight episodes drain within max_steps and autoreset onto
 genuine S13 layouts). Prints one learning_check JSON line per stage.
 
     python benchmarks/s13_curriculum.py [stage1_steps] [stage2_steps]
+    python benchmarks/s13_curriculum.py --extend CKPT EXTRA_STEPS
+
+The second form resumes an existing stage checkpoint on S13 proper for
+EXTRA_STEPS more (budget extension without rerunning earlier stages).
 """
 
 from __future__ import annotations
@@ -49,8 +53,36 @@ def _report(tag, run_name, steps, out, t0):
     }), flush=True)
 
 
+def _extend(ckpt: str, extra: int) -> None:
+    """Resume `ckpt` on S13 proper for `extra` more steps, save a new final."""
+    import pickle
+
+    from clip_ppo_tpu.cli import ppo_minigrid
+
+    with open(ckpt, "rb") as f:
+        resumed_step = int(pickle.load(f)["global_step"])
+    stamp = int(time.time())
+    run = f"s13ext_{stamp}"
+    t0 = time.time()
+    out = ppo_minigrid.train(
+        ppo_minigrid.Args(
+            env_id="MiniGrid-MemoryS13-v0", seed=0,
+            total_timesteps=resumed_step + extra, capture_video=False,
+            recurrent=True, ent_coef=0.001,
+            save_model=True, save_freq=10**12, model_path="checkpoints",
+            resume_checkpoint=ckpt,
+        ),
+        run_name=run,
+    )
+    _report(f"MiniGrid-MemoryS13-v0[extend@{resumed_step}]", run, extra, out, t0)
+
+
 def main() -> None:
     from clip_ppo_tpu.cli import ppo_minigrid
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--extend":
+        _extend(sys.argv[2], int(sys.argv[3]))
+        return
 
     s1 = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     s2 = int(sys.argv[2]) if len(sys.argv) > 2 else 16_000_000
@@ -75,7 +107,7 @@ def main() -> None:
             env_id="MiniGrid-MemoryS13-v0", seed=0,
             total_timesteps=s1 + s2, capture_video=False,
             recurrent=True, ent_coef=0.001,
-            save_model=False,
+            save_model=True, save_freq=10**12, model_path="checkpoints",
             resume_checkpoint=f"checkpoints/{run1}_final.ckpt",
         ),
         run_name=run2,

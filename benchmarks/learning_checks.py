@@ -17,8 +17,9 @@ steps). Options: ``recurrent`` (LSTM agent, --recurrent), ``eb=BETA``
 first-visit bonus, --episodic-bonus), ``mission``
 (--mission-conditioning), ``envs=N`` (--num-envs; the LSTM minibatch is
 an env slice, so more envs = more sequences per minibatch), ``ent=C``
-(--ent-coef), ``steps=N`` (--num-steps), and ``hidden=H``
-(--lstm-hidden). Runs execute sequentially in
+(--ent-coef), ``steps=N`` (--num-steps), ``hidden=H``
+(--lstm-hidden), and ``decay=F`` (--bonus-decay: anneal the intrinsic
+reward to zero over the first F of training). Runs execute sequentially in
 ONE process — on the tunneled TPU, rapid sequential client processes can
 wedge the tunnel (CLAUDE.md).
 """
@@ -59,7 +60,10 @@ def main() -> None:
         num_steps = 128
         ent = 0.01
         hidden = 128
+        decay = 0.0
         for o in opts:
+            if o.startswith("decay="):
+                decay = float(o[6:])
             if o.startswith("eb="):
                 eb = float(o[3:])
             elif o.startswith("epb="):
@@ -79,7 +83,8 @@ def main() -> None:
                 env_id=env_id, seed=0, total_timesteps=steps,
                 capture_video=False, save_model=False,
                 recurrent=recurrent, exploration_bonus=eb,
-                episodic_bonus=epb, mission_conditioning=mission,
+                episodic_bonus=epb, bonus_decay=decay,
+                mission_conditioning=mission,
                 num_envs=num_envs, num_steps=num_steps, ent_coef=ent,
                 lstm_hidden=hidden,
             ),
@@ -104,6 +109,7 @@ def main() -> None:
             **({"mission": True} if mission else {}),
             **({"exploration_bonus": eb} if eb else {}),
             **({"episodic_bonus": epb} if epb else {}),
+            **({"bonus_decay": decay} if decay else {}),
             "sps": round(out["sps"], 1),
             "wall_s": round(time.time() - t0, 1),
             "episodes": len(ret),

@@ -146,6 +146,11 @@ class Args:
     """β_e > 0 adds an NGU-style first-visit-THIS-EPISODE bonus over the
     same SimHash buckets (cracks per-episode-randomized layouts the
     global table dilutes across; composable with --exploration-bonus)"""
+    bonus_decay: float = 0.0
+    """> 0 anneals the total intrinsic reward linearly to zero over the
+    first `bonus_decay` fraction of training (1.0 = the full run) — lets
+    the bonus fund discovery early while the terminal reward alone
+    shapes the final policy"""
 
     # TPU execution arguments (no reference equivalent — single-device there)
     num_devices: int = 1
@@ -235,6 +240,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         exploration_bonus=args.exploration_bonus,
         exploration_bits=args.exploration_bits,
         episodic_bonus=args.episodic_bonus,
+        bonus_decay=args.bonus_decay,
         mission_conditioning=args.mission_conditioning,
     )
     if args.recurrent:

@@ -105,6 +105,7 @@ class Trainer:
         exploration_bonus: float = 0.0,
         exploration_bits: int = 18,
         episodic_bonus: float = 0.0,
+        bonus_decay: float = 0.0,
         mission_conditioning: bool = False,
     ):
         self.cfg = cfg
@@ -139,6 +140,14 @@ class Trainer:
         self.exploration_bonus = float(exploration_bonus)
         self.exploration_bits = exploration_bits
         self.episodic_bonus = float(episodic_bonus)
+        # bonus_decay > 0 anneals the TOTAL intrinsic reward linearly to
+        # zero over the first `bonus_decay` fraction of training (1.0 =
+        # the full run): the bonus funds discovery early, then the
+        # terminal reward alone shapes the final policy — for regimes
+        # where a constant bonus keeps outcompeting a sparse reward
+        # chain after transient solves (blocked-door ObstructedMaze
+        # composites, docs/PERFORMANCE.md).
+        self.bonus_decay = float(bonus_decay)
         self._expl_proj = None
         if recurrent:
             # LSTM minibatches are env slices; CLIP embedding paths pair
@@ -662,7 +671,8 @@ class Trainer:
         )(x, frozen)
 
     def _apply_exploration(
-        self, state: TrainState, batch: rollout_mod.RolloutBatch
+        self, state: TrainState, batch: rollout_mod.RolloutBatch,
+        iteration: Optional[jax.Array] = None,
     ) -> tuple[TrainState, rollout_mod.RolloutBatch, jax.Array]:
         """Count-bonus reward shaping (train/exploration.py): one hash
         matmul + one scatter-add for the whole rollout (plus, with the
@@ -691,6 +701,16 @@ class Trainer:
             )
             r_int = r_int + r_e
             state = dataclasses.replace(state, episodic_mem=mem)
+        if self.bonus_decay > 0.0:
+            assert iteration is not None, (
+                "bonus_decay needs the iteration index (fused path only)"
+            )
+            progress = (iteration.astype(jnp.float32) - 1.0) / jnp.float32(
+                max(self.num_iterations, 1)
+            )
+            r_int = r_int * jnp.clip(
+                1.0 - progress / jnp.float32(self.bonus_decay), 0.0, 1.0
+            )
         batch = batch._replace(rewards=batch.rewards + r_int)
         return state, batch, jnp.mean(r_int)
 
@@ -700,7 +720,9 @@ class Trainer:
         # state.lstm_state past the iteration).
         initial_lstm_state = state.lstm_state
         state, batch = self._rollout(state, frozen)
-        state, batch, intrinsic_mean = self._apply_exploration(state, batch)
+        state, batch, intrinsic_mean = self._apply_exploration(
+            state, batch, iteration
+        )
         data = self._data2d(state, batch, frozen)
         clip_embeddings = None
         if self.embed_images_fn is not None:

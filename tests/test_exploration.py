@@ -242,3 +242,41 @@ def test_episodic_dp2_mem_shards_with_envs():
     logs, _ = tr.fetch_logs(scalars, ep)
     assert np.isfinite(logs["policy_loss"])
     assert logs["intrinsic_reward"] > 0.0
+
+
+def test_bonus_decay_scales_and_reaches_zero():
+    """--bonus-decay anneals the PAID intrinsic reward linearly with
+    training progress while the count table keeps accumulating visits.
+
+    Exact pin: from identical initial states the rollout is identical,
+    so the decayed trainer's intrinsic mean at progress p must equal
+    (1 - p) x the undecayed trainer's."""
+    from clip_ppo_tpu.models.agent import init_agent_params
+
+    env = JaxVectorEnv("MiniGrid-Empty-5x5-v0", 4)
+    cfg = PPOConfig(num_envs=4, num_steps=16, num_minibatches=2,
+                    update_epochs=1)
+    tr_flat = Trainer(cfg, env, num_iterations=2, exploration_bonus=0.05)
+    tr_dec = Trainer(cfg, env, num_iterations=2, exploration_bonus=0.05,
+                     bonus_decay=1.0)
+    # distinct param buffers per trainer: run_iteration donates its input
+    # state, which would delete arrays shared by the other state
+    s_flat = tr_flat.init_state(
+        init_agent_params(jax.random.PRNGKey(0), env.num_actions), 0)
+    s_dec = tr_dec.init_state(
+        init_agent_params(jax.random.PRNGKey(0), env.num_actions), 0)
+
+    # iteration 2 of 2: progress = (2-1)/2 = 0.5 -> factor 0.5
+    _, sc_flat, _ = tr_flat.run_iteration(s_flat, 2)
+    s_dec2, sc_dec, _ = tr_dec.run_iteration(s_dec, 2)
+    flat = float(sc_flat["intrinsic_reward"])
+    assert flat > 0.0
+    np.testing.assert_allclose(
+        float(sc_dec["intrinsic_reward"]), 0.5 * flat, rtol=1e-5)
+
+    # past the anneal window the factor clips to 0 — no intrinsic paid,
+    # but visits still land in the table
+    before = int(jnp.sum(s_dec2.counts))
+    s_dec3, sc_zero, _ = tr_dec.run_iteration(s_dec2, 3)
+    assert float(sc_zero["intrinsic_reward"]) == 0.0
+    assert int(jnp.sum(s_dec3.counts)) == before + cfg.num_steps * cfg.num_envs

@@ -249,6 +249,7 @@ def train(args: Args, run_name: Optional[str] = None) -> dict:
         params = init_agent_params_recurrent(
             jax.random.PRNGKey(args.seed), env.num_actions, in_channels=3,
             lstm_hidden=args.lstm_hidden,
+            mission_dim=env.mission_dim if args.mission_conditioning else 0,
         )
     else:
         params = init_agent_params(

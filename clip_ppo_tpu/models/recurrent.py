@@ -102,19 +102,30 @@ def init_agent_params_recurrent(
     in_channels: int = 3,
     hidden: int = 512,
     lstm_hidden: int = 128,
+    mission_dim: int = 0,
 ) -> dict:
     """Nature-CNN trunk → LSTM(hidden → lstm_hidden); heads read
     ``concat(trunk_features, lstm_hidden)`` (module docstring). Head init
     scales as the reference's `layer_init`: 0.01 actor, 1.0 critic
-    (`ppo_minigrid.py:122-125`)."""
+    (`ppo_minigrid.py:122-125`). ``mission_dim > 0`` adds the FiLM
+    mission head (models/mission.py) modulating the trunk features
+    BEFORE the cell — zero-initialized, so the conditioned agent starts
+    identical to the unconditioned one."""
     k_tr, k_lstm, k_actor, k_critic = jax.random.split(key, 4)
     head_in = hidden + lstm_hidden
-    return {
+    params = {
         "trunk": cnn.init_nature_cnn(k_tr, in_channels, hidden),
         "lstm": init_lstm(k_lstm, hidden, lstm_hidden),
         "actor": cnn.init_dense(k_actor, head_in, num_actions, scale=0.01),
         "critic": cnn.init_dense(k_critic, head_in, 1, scale=1.0),
     }
+    if mission_dim > 0:
+        from clip_ppo_tpu.models import mission as mission_mod
+
+        params["mission"] = mission_mod.init_mission_params(
+            jax.random.fold_in(key, 7), mission_dim, hidden=hidden
+        )
+    return params
 
 
 def unroll(

@@ -338,10 +338,12 @@ def recurrent_loss(
     from clip_ppo_tpu.models import recurrent as rec
 
     t, n = mb["actions"].shape
-    obs = mb["obs"]
-    feats = features_fn(
-        params, obs.reshape((t * n,) + obs.shape[2:]), frozen
-    ).reshape(t, n, -1)
+    # obs is an opaque pytree: a plain [T, n, ...] array, or the
+    # (obs, mission) pair under --mission-conditioning
+    obs2d = jax.tree_util.tree_map(
+        lambda v: v.reshape((t * n,) + v.shape[2:]), mb["obs"]
+    )
+    feats = features_fn(params, obs2d, frozen).reshape(t, n, -1)
     hs, _ = rec.unroll(
         params["lstm"], feats, mb["dones"], (mb["h0"], mb["c0"])
     )
@@ -411,12 +413,16 @@ def update_epochs_recurrent(
     def epoch_step(carry, epoch_key):
         params, opt_state, stop = carry
         perm = jax.random.permutation(epoch_key, cfg.num_envs)
-        mbs = {
-            k: v[:, perm]
-            .reshape((v.shape[0], cfg.num_minibatches, epm) + v.shape[2:])
-            .swapaxes(0, 1)
-            for k, v in batch.items()
-        }
+
+        def env_slice(v):  # [T, N, ...] → [mb, T, epm, ...] (leaf-wise:
+            # obs may be the mission-conditioned (obs, mission) pair)
+            return (v[:, perm]
+                    .reshape((v.shape[0], cfg.num_minibatches, epm)
+                             + v.shape[2:])
+                    .swapaxes(0, 1))
+
+        mbs = {k: jax.tree_util.tree_map(env_slice, v)
+               for k, v in batch.items()}
         mbs["h0"] = h0[perm].reshape(cfg.num_minibatches, epm, -1)
         mbs["c0"] = c0[perm].reshape(cfg.num_minibatches, epm, -1)
         (params, opt_state, stop), aux = jax.lax.scan(

@@ -175,14 +175,17 @@ def collect_rollout_recurrent(
     capture_video: bool = False,
     frozen=None,
     small_obs: bool = False,
+    mission_fn=None,
 ):
     """Recurrent variant of :func:`collect_rollout`: the scan carry also
     holds the per-env LSTM (h, c), reset where ``next_done`` marks an
     episode boundary entering the step (CleanRL ``ppo_atari_lstm``
     semantics). ``features_fn`` is the BASE trunk (CNN or the view fast
-    path); the cell and heads read ``params["lstm"]``/heads. Returns the
-    final ``lstm_state`` as an extra carry — the caller must keep the
-    iteration's INITIAL state for the update's sequence replay."""
+    path; mission-FiLM-wrapped when ``mission_fn`` is given — the FiLM
+    modulates the trunk features BEFORE the cell, so the memory can carry
+    mission-relative state). Returns the final ``lstm_state`` as an extra
+    carry — the caller must keep the iteration's INITIAL state for the
+    update's sequence replay."""
     assert not (small_obs and disturbance is not None), (
         "the view fast path cannot apply image-space disturbances"
     )
@@ -201,7 +204,8 @@ def collect_rollout_recurrent(
             x = disturb_auto(x, k_dist, disturbance, disturbance_semantics)
             obs = (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-        feats = features_fn(params, obs, frozen)
+        pol_obs = (obs, mission_fn(vec_state)) if mission_fn else obs
+        feats = features_fn(params, pol_obs, frozen)
         h, lstm_state = rec.masked_lstm_step(
             params["lstm"], feats, lstm_state, next_done
         )
@@ -229,7 +233,7 @@ def collect_rollout_recurrent(
         new_done = (term | trunc).astype(jnp.float32)
         return (
             (new_vec_state, new_obs, new_done, lstm_state, key),
-            (obs, packed, aux),
+            (pol_obs, packed, aux),
         )
 
     (vec_state, obs, next_done, lstm_state, key), (

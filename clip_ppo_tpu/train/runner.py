@@ -123,10 +123,6 @@ class Trainer:
                 "--mission-conditioning needs an env exposing mission_fn "
                 "(the pure-JAX MiniGrid/BabyAI families)"
             )
-            assert not recurrent, (
-                "--mission-conditioning + --recurrent not wired yet "
-                "(the recurrent rollout/replay does not thread missions)"
-            )
             assert embed_images_fn is None, (
                 "--mission-conditioning composes with the text modality "
                 "(embed_desc_fn), not the image modality: embed_images_fn "
@@ -391,6 +387,10 @@ class Trainer:
                     self.capture_env0,
                     frozen,
                     small_obs=self.view_mode,
+                    mission_fn=(
+                        self.env.mission_fn
+                        if self.mission_conditioning else None
+                    ),
                 )
             )
             state = dataclasses.replace(
@@ -442,7 +442,11 @@ class Trainer:
             from clip_ppo_tpu.models import nature_cnn as cnn
             from clip_ppo_tpu.models import recurrent as rec
 
-            feats = self.features_fn(state.params, state.obs, frozen)
+            boot_obs = (
+                (state.obs, self.env.mission_fn(state.vec_state))
+                if self.mission_conditioning else state.obs
+            )
+            feats = self.features_fn(state.params, boot_obs, frozen)
             h, _ = rec.masked_lstm_step(
                 state.params["lstm"], feats, state.lstm_state,
                 state.next_done,

@@ -210,3 +210,87 @@ def test_cli_flag_and_checkpoint_roundtrip(tmp_path):
         str(ckpts[0]), st.params, st.opt_state)
     assert "mission" in params and gs == 512
     shutil.rmtree("runs/test_mission_cli", ignore_errors=True)
+
+
+# -- recurrent composition (r5: --mission-conditioning + --recurrent) --------
+
+
+def _rec_mission_setup(mesh=None, mission=True, num_steps=16):
+    from clip_ppo_tpu.models import recurrent as rec
+
+    env = JaxVectorEnv("MiniGrid-Fetch-5x5-N2-v0", 4)
+    cfg = PPOConfig(num_envs=4, num_steps=num_steps, num_minibatches=2,
+                    update_epochs=2)
+    tr = Trainer(cfg, env, num_iterations=5, recurrent=True,
+                 mission_conditioning=mission, mesh=mesh)
+    params = rec.init_agent_params_recurrent(
+        jax.random.PRNGKey(0), env.num_actions,
+        mission_dim=env.mission_dim if mission else 0)
+    return env, cfg, tr, params
+
+
+def test_recurrent_mission_rollout_identity_at_init():
+    """Zero-init FiLM through the LSTM: the conditioned recurrent agent's
+    rollout equals the unconditioned one's exactly at init, and the batch
+    stores (obs, mission) pairs."""
+    env, cfg, tr_c, params_c = _rec_mission_setup(mission=True)
+    _, _, tr_u, params_u = _rec_mission_setup(mission=False)
+    _, batch_c = jax.jit(tr_c._rollout)(tr_c.init_state(params_c, 0), None)
+    _, batch_u = jax.jit(tr_u._rollout)(tr_u.init_state(params_u, 0), None)
+    assert isinstance(batch_c.obs, tuple) and batch_c.obs[1].shape == (
+        cfg.num_steps, cfg.num_envs, env.mission_dim)
+    np.testing.assert_array_equal(np.asarray(batch_c.actions),
+                                  np.asarray(batch_u.actions))
+    np.testing.assert_allclose(np.asarray(batch_c.logprobs),
+                               np.asarray(batch_u.logprobs), rtol=1e-6)
+
+
+def test_recurrent_mission_replay_matches_rollout_logprobs():
+    """At unchanged parameters the recurrent sequence replay over stored
+    (obs, mission) pairs reproduces the rollout's logprobs exactly —
+    image/mission misalignment or pair-blind env slicing breaks it."""
+    from clip_ppo_tpu.train import ppo as ppo_mod
+
+    env, cfg, tr, params = _rec_mission_setup(num_steps=64)
+    state = tr.init_state(params, 0)
+    init_lstm = state.lstm_state
+    state2, batch = jax.jit(tr._rollout)(state, None)
+    data = tr._data2d(state2, batch, None)
+    mb = dict(data)
+    mb["h0"], mb["c0"] = init_lstm
+    _, aux = ppo_mod.recurrent_loss(state2.params, mb, cfg, tr.features_fn)
+    assert abs(float(aux["approx_kl"])) < 1e-9
+    assert abs(float(aux["old_approx_kl"])) < 1e-9
+
+
+def test_recurrent_mission_trains_and_updates_film():
+    env, cfg, tr, params = _rec_mission_setup()
+    state = tr.init_state(params, 0)
+    for it in range(1, 4):
+        state, scalars, ep = tr.run_iteration(state, it)
+        logs, _ = tr.fetch_logs(scalars, ep)
+        assert np.isfinite(logs["policy_loss"])
+    w = np.asarray(state.params["mission"]["film"]["w"])
+    assert np.abs(w).max() > 0.0, "gradients must flow into the FiLM head"
+
+
+def test_recurrent_mission_dp1_matches_unsharded_and_dp2_runs():
+    from clip_ppo_tpu.parallel.mesh import make_mesh
+
+    def run(mesh):
+        _, _, tr, params = _rec_mission_setup(mesh=mesh, num_steps=8)
+        state = tr.init_state(params, 0)
+        out = []
+        for it in range(1, 4):
+            state, scalars, ep = tr.run_iteration(state, it)
+            out.append(tr.fetch_logs(scalars, ep)[0])
+        return out
+
+    base = run(None)
+    dp1 = run(make_mesh(num_devices=1))
+    for a, b in zip(base, dp1):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k, equal_nan=True)
+    logs = run(make_mesh(num_devices=2))
+    assert np.isfinite(logs[-1]["policy_loss"])
